@@ -1,0 +1,265 @@
+"""Anchor generation, placement, and target assignment.
+
+Host side (numpy, runs once per experiment, cached as .npz):
+  * ``generate_anchor_templates`` -- scale x ratio 2D templates
+    (reference lib/rpn_util.py:42-54).
+  * ``learn_anchor_priors`` -- per-anchor mean 3D statistics (z, w3d, h3d,
+    l3d, rotY, sin, cos, [vel]) learned by matching every ground truth to
+    its best-overlapping template (reference lib/rpn_util.py:59-193).
+  * ``compute_bbox_stats`` -- mean/std of every regression target over the
+    dataset (reference lib/rpn_util.py:547-736), one fused pass with
+    float64 accumulators instead of two float128 passes.
+
+Device side (pure JAX, fixed shapes, called inside the jitted loss):
+  * ``locate_anchors`` -- tile templates over the feature grid.
+  * ``compute_targets`` -- batched anchor<->GT assignment with padded GT
+    tensors + validity masks replacing the reference's per-image numpy loop
+    (lib/rpn_util.py:411-523).
+
+Layout note: this framework orders the anchor grid **(h, w, a)** -- the
+natural NHWC unroll of the conv heads -- whereas the reference unrolls
+(a, h, w) (lib/rpn_util.py:999-1032).  The ordering is internally consistent
+end-to-end (heads, rois, loss, decode), and the torch checkpoint converter
+permutes head filters accordingly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.boxes import bbox_transform, bbox_transform_3d
+from .ops.iou import pairwise_iou, pairwise_iou_ign
+
+
+# ---------------------------------------------------------------------------
+# host-side anchor construction
+# ---------------------------------------------------------------------------
+
+def anchor_center(w, h, stride):
+    """Anchor box of size (w, h) centered at ((stride-1)/2, (stride-1)/2).
+
+    Reference lib/rpn_util.py:219-235.
+    """
+    c = (stride - 1) / 2.0
+    return np.array([c - w / 2.0, c - h / 2.0, c + w / 2.0, c + h / 2.0],
+                    dtype=np.float32)
+
+
+def generate_anchor_templates(anchor_scales, anchor_ratios, stride):
+    """[len(scales) * len(ratios), 4] template boxes; h = scale, w = scale*ratio."""
+    out = np.zeros([len(anchor_scales) * len(anchor_ratios), 4], np.float32)
+    i = 0
+    for scale in anchor_scales:
+        for ratio in anchor_ratios:
+            out[i] = anchor_center(scale * ratio, scale, stride)
+            i += 1
+    return out
+
+
+def learn_anchor_priors(templates, gts_2d, gts_3d, min_overlap=0.2,
+                        decomp_alpha=True, has_vel=False):
+    """Attach learned 3D priors to 2D anchor templates.
+
+    Args:
+      templates: [A, 4] from :func:`generate_anchor_templates`.
+      gts_2d: [G, 4] *center-normalised* valid GT boxes (each re-centered at
+        the anchor origin via :func:`anchor_center`, as the reference does at
+        lib/rpn_util.py:85-89).
+      gts_3d: [G, >=16] imdb ``bbox_3d`` rows
+        [cx, cy, cz2d, w3d, h3d, l3d, alpha, cx3d, cy3d, cz3d, rotY, elev,
+         alpha_sin, alpha_cos, axis_lbl, head_lbl, (vel)].
+
+    Returns [A', 9 (+2 decomp)(+1 vel)] anchors
+    [x1, y1, x2, y2, z, w3d, h3d, l3d, rotY, (sin, cos), (vel)] with unused
+    anchors dropped (reference lib/rpn_util.py:190-193).
+    """
+    a = templates.shape[0]
+    extra = 5 + (2 if decomp_alpha else 0) + (1 if has_vel else 0)
+    anchors = np.concatenate([templates, np.zeros((a, extra), np.float32)], axis=1)
+
+    if gts_2d.shape[0] == 0:
+        return anchors
+
+    ols = np.asarray(pairwise_iou(templates, gts_2d.astype(np.float32)))  # [A, G]
+    best_anchor = np.argmax(ols, axis=0)
+    best_ol = np.max(ols, axis=0)
+
+    used = np.zeros(a, bool)
+    for aind in range(a):
+        sel = (best_anchor == aind) & (best_ol > min_overlap)
+        if not sel.any():
+            continue
+        used[aind] = True
+        g = gts_3d[sel]
+        anchors[aind, 4] = g[:, 9].mean()    # z3d (camera depth)
+        anchors[aind, 5] = g[:, 3].mean()    # w3d
+        anchors[aind, 6] = g[:, 4].mean()    # h3d
+        anchors[aind, 7] = g[:, 5].mean()    # l3d
+        anchors[aind, 8] = g[:, 10].mean()   # rotY
+        if decomp_alpha:
+            anchors[aind, 9] = g[:, 12].mean()   # alpha_sin
+            anchors[aind, 10] = g[:, 13].mean()  # alpha_cos
+        if has_vel:
+            vel = g[:, 16]
+            vel = vel[vel >= 0]
+            if vel.size:
+                anchors[aind, 9 + 2 * decomp_alpha] = vel.mean()
+    return anchors[used]
+
+
+# ---------------------------------------------------------------------------
+# device-side placement and assignment
+# ---------------------------------------------------------------------------
+
+def locate_anchors(anchors, feat_size, stride):
+    """Tile anchors over the feature grid in (h, w, a) order.
+
+    anchors [A, >=4] -> rois [H*W*A, 5] of [x1, y1, x2, y2, anchor_index].
+    """
+    anchors = jnp.asarray(anchors)
+    h, w = int(feat_size[0]), int(feat_size[1])
+    a = anchors.shape[0]
+    shift_x = (jnp.arange(w) * stride).astype(jnp.float32)
+    shift_y = (jnp.arange(h) * stride).astype(jnp.float32)
+    shifts = jnp.stack(
+        jnp.broadcast_arrays(
+            shift_x[None, :, None],  # x
+            shift_y[:, None, None],  # y
+        ),
+        axis=-1,
+    )  # [H, W, A(broadcast later), 2]
+    boxes = anchors[None, None, :, :4] + jnp.concatenate(
+        [shifts[..., 0:1], shifts[..., 1:2], shifts[..., 0:1], shifts[..., 1:2]],
+        axis=-1,
+    )  # [H, W, A, 4]
+    tracker = jnp.broadcast_to(
+        jnp.arange(a, dtype=jnp.float32)[None, None, :], (h, w, a)
+    )
+    rois = jnp.concatenate([boxes, tracker[..., None]], axis=-1)
+    return rois.reshape(h * w * a, 5)
+
+
+class Targets(NamedTuple):
+    """Per-anchor assignment for one image (all [R, ...], input-roi order)."""
+
+    labels: jnp.ndarray        # [R] float: -1 bg, 0 ignored, >=1 class id
+    transforms_2d: jnp.ndarray  # [R, 4] dx dy dw dh (0 for non-fg)
+    transforms_3d: jnp.ndarray  # [R, T3] 3D deltas (0 for non-fg)
+    gt_index: jnp.ndarray      # [R] int32 assigned GT (valid only where fg)
+    fg_mask: jnp.ndarray       # [R] bool
+    bg_mask: jnp.ndarray       # [R] bool
+    ols_max: jnp.ndarray       # [R] max IoU vs valid GTs
+    raw_gt_2d: jnp.ndarray     # [R, 4] assigned GT box (0 for non-fg)
+    raw_gt_3d: jnp.ndarray     # [R, K] assigned GT bbox_3d row (0 for non-fg)
+
+
+@functools.partial(jax.jit, static_argnames=("fg_thresh", "ign_thresh",
+                                              "bg_thresh_lo", "bg_thresh_hi",
+                                              "best_thresh", "decomp_alpha",
+                                              "has_vel"))
+def compute_targets(rois, rois_3d, gts_2d, gts_3d, gt_labels, gt_valid,
+                    ign_2d, ign_valid, *, fg_thresh, ign_thresh, bg_thresh_lo,
+                    bg_thresh_hi, best_thresh, decomp_alpha=True,
+                    has_vel=False):
+    """Vectorised anchor<->GT assignment for one image (vmap over batch).
+
+    Args:
+      rois: [R, 5] from :func:`locate_anchors` (static per feat size).
+      rois_3d: [R, P] anchor 3D priors gathered by tracker
+        (``anchors[tracker, 4:]``).
+      gts_2d: [G, 4] padded valid GT boxes (image scale).
+      gts_3d: [G, K] padded imdb bbox_3d rows.
+      gt_labels: [G] class ids (>=1).
+      gt_valid: [G] bool.
+      ign_2d / ign_valid: [I, 4] / [I] padded ignore-region boxes.
+
+    Semantics mirror lib/rpn_util.py:411-523: fg = IoU >= fg_thresh union
+    best-anchor-per-GT (at >= best_thresh); each fg anchor regresses to its
+    own argmax GT; bg = IoU in [bg_lo, bg_hi) minus ignores minus fg.
+    """
+    r = rois.shape[0]
+    boxes = rois[:, :4]
+
+    ols = pairwise_iou(boxes, gts_2d)                      # [R, G]
+    ols = jnp.where(gt_valid[None, :], ols, -1.0)
+    any_gt = jnp.any(gt_valid)
+
+    ols_max = jnp.where(any_gt, ols.max(axis=1), 0.0)
+    gt_index = jnp.argmax(ols, axis=1).astype(jnp.int32)   # [R]
+
+    # best anchor per GT (>= best_thresh)
+    ols_for_best = jnp.where(gt_valid[None, :], ols, -1.0)
+    best_roi_per_gt = jnp.argmax(ols_for_best, axis=0)     # [G]
+    best_ol_per_gt = ols_for_best.max(axis=0)
+    gt_is_matched = gt_valid & (best_ol_per_gt >= best_thresh)
+    is_best = jnp.zeros((r,), bool).at[best_roi_per_gt].max(gt_is_matched)
+
+    fg_mask = any_gt & ((ols_max >= fg_thresh) | is_best)
+
+    # ignore-region overlap (normalised by anchor area only)
+    ols_ign = pairwise_iou_ign(boxes, ign_2d)
+    ols_ign = jnp.where(ign_valid[None, :], ols_ign, 0.0)
+    ign_mask = ols_ign.max(axis=1) >= ign_thresh if ign_2d.shape[0] else jnp.zeros((r,), bool)
+
+    bg_mask = (ols_max >= bg_thresh_lo) & (ols_max < bg_thresh_hi)
+    bg_mask = jnp.where(any_gt, bg_mask & ~ign_mask & ~fg_mask & ~is_best,
+                        jnp.ones((r,), bool))
+
+    labels = jnp.zeros((r,), jnp.float32)
+    labels = jnp.where(bg_mask, -1.0, labels)
+    labels = jnp.where(fg_mask, gt_labels[gt_index], labels)
+
+    tgt_2d_box = gts_2d[gt_index]                          # [R, 4]
+    tgt_3d_row = gts_3d[gt_index]                          # [R, K]
+    t2d = bbox_transform(boxes, tgt_2d_box)
+    t3d = bbox_transform_3d(boxes, rois_3d, tgt_3d_row,
+                            decomp_alpha=decomp_alpha, has_vel=has_vel)
+    fg_f = fg_mask[:, None].astype(t2d.dtype)
+    return Targets(
+        labels=labels,
+        transforms_2d=t2d * fg_f,
+        transforms_3d=t3d * fg_f,
+        gt_index=gt_index,
+        fg_mask=fg_mask,
+        bg_mask=bg_mask,
+        ols_max=ols_max,
+        raw_gt_2d=tgt_2d_box * fg_f,
+        raw_gt_3d=tgt_3d_row * fg_f,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset statistics (host, cached)
+# ---------------------------------------------------------------------------
+
+def compute_bbox_stats(per_image_transforms_iter, n_targets):
+    """Mean/std of fg regression targets over a dataset.
+
+    Args:
+      per_image_transforms_iter: iterable yielding [F_i, T] fg transform rows
+        (2D deltas ++ 3D deltas) for each image.
+      n_targets: total number of target columns T.
+
+    Returns (means [1, T], stds [1, T]) float64, matching the shape contract
+    of the reference pickles (lib/rpn_util.py:717-736).
+    """
+    total = 0
+    s = np.zeros(n_targets, np.float64)
+    sq = np.zeros(n_targets, np.float64)
+    for rows in per_image_transforms_iter:
+        if rows.shape[0] == 0:
+            continue
+        rows = np.asarray(rows, np.float64)
+        total += rows.shape[0]
+        s += rows.sum(axis=0)
+        sq += (rows ** 2).sum(axis=0)
+    if total == 0:
+        return np.zeros((1, n_targets)), np.ones((1, n_targets))
+    means = s / total
+    var = np.maximum(sq / total - means ** 2, 1e-12)
+    return means[None, :], np.sqrt(var)[None, :]

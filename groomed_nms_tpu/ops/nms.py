@@ -1,0 +1,134 @@
+"""Classical (hard) NMS and soft-NMS as on-device XLA programs.
+
+The reference implements greedy NMS as a CUDA bitmask kernel + host sweep
+(lib/nms/nms_kernel.cu:24-144) and soft-NMS as a Cython O(N^2) loop
+(lib/nms_others.py:5-118).  On TPU both become fixed-shape programs over a
+precomputed [N, N] IoU matrix:
+
+* ``greedy_nms``: a ``fori_loop`` suppression sweep in score-sorted order --
+  each step is one O(N) vector op on the VPU, no host round-trips.
+* ``soft_nms``: N rounds of (argmax, decay) with masking.
+
+Both take a ``shift`` argument because the reference's NMS oracles use the
+legacy +1 inclusive-pixel area convention (lib/nms/nms_kernel.cu:9-16,
+girshick_nms in lib/nms_others.py:121) while lib/core.py's ``iou`` does not.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .iou import pairwise_iou
+
+
+@functools.partial(jax.jit, static_argnames=("nms_threshold", "shift"))
+def greedy_nms(boxes, scores, valid_mask=None, *, nms_threshold=0.4, shift=1.0):
+    """Greedy hard NMS. boxes [N, 4], scores [N] -> keep mask [N] (input order).
+
+    Semantics match the Girshick/CUDA oracle: boxes are visited in score
+    order; a visited box is kept iff no previously-kept box overlaps it
+    above ``nms_threshold``.
+    """
+    n = scores.shape[0]
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), bool)
+    order = jnp.argsort(-jnp.where(valid_mask, scores, -jnp.inf), stable=True)
+    iou_sorted = pairwise_iou(boxes[order], boxes[order], shift=shift)
+    v = valid_mask[order]
+
+    def body(i, state):
+        alive, keep = state
+        is_kept = alive[i]
+        keep = keep.at[i].set(is_kept)
+        suppress = is_kept & (iou_sorted[i] > nms_threshold)
+        # only suppress boxes later in score order (earlier ones already decided)
+        suppress = suppress & (jnp.arange(n) > i)
+        return alive & ~suppress, keep
+
+    alive0 = v
+    keep0 = jnp.zeros((n,), bool)
+    _, keep_sorted = jax.lax.fori_loop(0, n, body, (alive0, keep0))
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nms_threshold", "sigma", "method", "score_threshold", "shift")
+)
+def soft_nms(boxes, scores, valid_mask=None, *, nms_threshold=0.4, sigma=0.5,
+             method="hard", score_threshold=0.001, shift=1.0):
+    """Soft-NMS (Bodla et al.): decay instead of suppress.
+
+    ``method``: 'linear' (w = 1 - iou when iou > t), 'gaussian'
+    (w = exp(-iou^2 / sigma)), or 'hard' (w = 0 when iou > t; classical NMS
+    by decay).  Returns (new_scores [N], keep [N]) in input order; keep is
+    ``new_scores >= score_threshold``.  Mirrors lib/nms_others.py:5-118.
+    """
+    n = scores.shape[0]
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), bool)
+    iou_mat = pairwise_iou(boxes, boxes, shift=shift)
+
+    def body(_, state):
+        cur_scores, processed = state
+        cand = jnp.where(processed | ~valid_mask, -jnp.inf, cur_scores)
+        top = jnp.argmax(cand)
+        has_cand = jnp.isfinite(cand[top])
+        ov = iou_mat[top]
+        if method == "linear":
+            w = jnp.where(ov > nms_threshold, 1.0 - ov, 1.0)
+        elif method == "gaussian":
+            w = jnp.exp(-jnp.square(ov) / sigma)
+        else:  # hard
+            w = jnp.where(ov > nms_threshold, 0.0, 1.0)
+        decay = jnp.where(processed | (jnp.arange(n) == top) | ~has_cand, 1.0, w)
+        return cur_scores * decay, processed | ((jnp.arange(n) == top) & has_cand)
+
+    scores0 = jnp.where(valid_mask, scores, 0.0)
+    new_scores, _ = jax.lax.fori_loop(0, n, body, (scores0, jnp.zeros((n,), bool)))
+    keep = valid_mask & (new_scores >= score_threshold)
+    return new_scores, keep
+
+
+def greedy_nms_numpy(dets, nms_threshold, shift=1.0):
+    """Pure-numpy greedy NMS oracle. dets [N, 5] = [x1, y1, x2, y2, score].
+
+    Kept as the parity oracle for the device kernels, in the role of the
+    reference's py_cpu_nms (lib/nms/py_cpu_nms.py:10-38).  Returns kept
+    indices in score order.
+    """
+    x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
+    areas = (x2 - x1 + shift) * (y2 - y1 + shift)
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + shift)
+        h = np.maximum(0.0, yy2 - yy1 + shift)
+        inter = w * h
+        ovr = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][ovr <= nms_threshold]
+    return np.array(keep, dtype=np.int64)
+
+
+def top_k_after_nms(boxes_scores, keep, top_n, score_threshold=None):
+    """Select up to ``top_n`` kept rows by score (host-side helper).
+
+    Mirrors get_nms (lib/rpn_util.py:1358-1381): NMS -> top-k -> optional
+    score floor.
+    """
+    boxes_scores = np.asarray(boxes_scores)
+    keep = np.asarray(keep)
+    kept = boxes_scores[keep]
+    kept = kept[np.argsort(-kept[:, 4], kind="stable")][:top_n]
+    if score_threshold is not None:
+        kept = kept[kept[:, 4] >= score_threshold]
+    return kept
