@@ -1,0 +1,57 @@
+"""Headline benchmark: end-to-end KITTI-resolution inference images/sec/chip.
+
+Runs the flagship pipeline (DenseNet-121 dilated RPN at 512x1760, 36 anchors
+~ 126k rois -> decode -> classical NMS -> top-40) fully on-device, batched,
+and reports images/sec on one chip.
+
+Baseline: the reference runs batch-1 inference on a GTX 1080 Ti with host
+round-trips between backbone, decode, and CUDA NMS (lib/rpn_util.py:1052-
+1356).  The repo records no throughput number; M3D-RPN-lineage detectors
+run ~5 img/s on a 1080 Ti at this resolution, and BASELINE.md's target is
+>10x that (= 50 img/s) on one v5e chip.  vs_baseline is measured against
+the 5 img/s reference estimate.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_1080TI_IMG_PER_SEC = 5.0
+
+
+def main():
+    import jax
+    from __graft_entry__ import _flagship
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    fn, (images, params, batch_stats) = _flagship(batch=batch)
+    jfn = jax.jit(fn)
+
+    # warmup / compile
+    out, valid = jfn(images, params, batch_stats)
+    jax.block_until_ready((out, valid))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, valid = jfn(images, params, batch_stats)
+    jax.block_until_ready((out, valid))
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "kitti_512x1760_e2e_inference",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / REFERENCE_1080TI_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

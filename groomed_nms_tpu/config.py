@@ -1,0 +1,267 @@
+"""Experiment configuration: one typed dataclass, importable config modules.
+
+Capability match for the reference's config system (scripts/config/*.py
+python modules returning an edict, loaded by init_config at lib/core.py:35-45
+and defaulted all over with ``X if 'k' not in conf else conf.k``).  Here a
+single frozen dataclass holds every knob with its shipped default, and a
+config module exports ``config() -> ExperimentConfig``; typed sub-configs
+for the model / loss / detection layers are derived, so there is exactly one
+source of truth and no stringly-typed defaulting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .inference import DetectConfig
+from .losses.rpn_3d import LossConfig
+from .models.densenet import DenseNetConfig
+from .models.rpn_3d import RPNConfig
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """Every knob of an experiment, defaults = the GrooMeD-NMS shipped run
+    (scripts/config/groumd_nms.py)."""
+
+    name: str = "groomed_nms"
+    model: str = "rpn_3d"                     # rpn_3d | rpn_3d_un | kalman
+
+    # solver (reference groumd_nms.py:13-28)
+    solver_type: str = "sgd"
+    momentum: float = 0.9
+    weight_decay: float = 0.0005
+    max_iter: int = 50000
+    snapshot_iter: int = 10000
+    display: int = 100
+    do_test: bool = True
+    fast_eval: bool = True
+    lr: float = 0.004
+    lr_policy: str = "poly"
+    lr_steps: Optional[Sequence[float]] = None
+    lr_target_factor: float = 1e-5
+    warmup_iters: int = 0
+    batch_skip: int = 1
+    grad_clip_value: float = 1.0
+    pretrained: Optional[str] = None
+    copy_stats: bool = False
+
+    # loss logic (groumd_nms.py:33-69)
+    hard_negatives: bool = True
+    focal_loss: float = 0.0
+    cls_2d_lambda: float = 1.0
+    iou_2d_lambda: float = 1.0
+    bbox_2d_lambda: float = 0.0
+    bbox_3d_lambda: float = 1.0
+    bbox_axis_head_lambda: float = 0.35
+    predict_acceptance_prob: bool = True
+    acceptance_prob_lambda: float = 0.0
+    use_nms_in_loss: bool = True
+    diff_nms_temperature: float = 0.1
+    diff_nms_pruning_method: str = "linear"
+    diff_nms_valid_box_prob_threshold: float = 0.3
+    diff_nms_group_boxes: bool = True
+    diff_nms_mask_group_boxes: bool = True
+    diff_nms_group_size: int = 100
+    after_nms_lambda: float = 0.05
+    after_nms_loss_mode: str = "rank"
+    rank_boxes_of_all_images_at_once: bool = False
+    overlap_in_nms: str = "2d"
+    best_target_box_beta: float = 0.3
+    has_un: bool = False
+    bbox_un_lambda: float = 0.0
+    bbox_un_dynamic: bool = True
+    use_un_for_score: bool = True
+    use_acceptance_prob_for_nms: bool = True
+    boxes_for_acceptance_prob: str = "foregrounds"
+    acceptance_prob_mode: str = "likelihood"
+    use_acceptance_prob_in_regression_loss: bool = True
+    weigh_acceptance_prob_regularization: bool = True
+    weigh_3D_regression_loss_by_gt_iou3d: bool = False
+    rank_with_class_confidence: bool = False
+    decomp_alpha: bool = True
+    score_thres: float = 0.6
+
+    # rng
+    rng_seed: int = 5
+
+    # network / image (groumd_nms.py:76-93)
+    image_means: Sequence[float] = (0.485, 0.456, 0.406)
+    image_stds: Sequence[float] = (0.229, 0.224, 0.225)
+    feat_stride: int = 16
+    test_scale: int = 512
+    crop_size: Sequence[int] = (512, 1760)
+    mirror_prob: float = 0.5
+    distort_prob: float = -1.0
+
+    # dataset (groumd_nms.py:95-109)
+    dataset_root: str = "data"
+    dataset_train: str = "kitti_split1"
+    dataset_test: str = "kitti_split1"
+    im_ext: str = ".png"
+    use_3d_for_2d: bool = True
+    percent_anc_h: Sequence[float] = (0.0625, 0.75)
+    min_gt_vis: float = 0.65
+    ilbls: Sequence[str] = ("Van", "ignore")
+    lbls: Sequence[str] = ("Car", "Pedestrian", "Cyclist")
+
+    # sampling (groumd_nms.py:115-124)
+    batch_size: int = 2
+    fg_image_ratio: float = 1.0
+    box_samples: float = 0.20
+    fg_fraction: float = 0.20
+    bg_thresh_lo: float = 0.0
+    bg_thresh_hi: float = 0.5
+    fg_thresh: float = 0.5
+    ign_thresh: float = 0.5
+    best_thresh: float = 0.35
+
+    # inference (groumd_nms.py:130-139)
+    nms_topN_pre: int = 3000
+    nms_topN_post: int = 40
+    nms_thres: float = 0.4
+    clip_boxes: bool = False
+    use_differentiable_nms_at_test: bool = False
+    test_batch_size: int = 8
+
+    # anchors (groumd_nms.py:145-158)
+    anchor_scales_count: int = 12
+    anchor_ratios: Sequence[float] = (0.5, 1.0, 1.5)
+
+    # fixed-shape padding knobs (TPU-specific)
+    max_gts: int = 64
+    max_igns: int = 32
+    max_nms_boxes: int = 512
+    max_ap_boxes: int = 1024
+
+    # backbone (tiny=True used by tests / dry runs)
+    backbone_tiny: bool = False
+    compute_dtype: str = "float32"            # or "bfloat16"
+
+    # derived --------------------------------------------------------------
+    @property
+    def min_gt_h(self) -> float:
+        return self.test_scale * self.percent_anc_h[0]
+
+    @property
+    def max_gt_h(self) -> float:
+        return self.test_scale * self.percent_anc_h[1]
+
+    @property
+    def anchor_scales(self):
+        base = (self.max_gt_h / self.min_gt_h) ** (
+            1.0 / (self.anchor_scales_count - 1))
+        return np.array([self.min_gt_h * base ** i
+                         for i in range(self.anchor_scales_count)])
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.lbls) + 1
+
+    def backbone_config(self) -> DenseNetConfig:
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        if self.backbone_tiny:
+            from .models.densenet import tiny_densenet_config
+            return tiny_densenet_config(dtype)
+        return DenseNetConfig(dtype=dtype)
+
+    def rpn_config(self, num_anchors: int) -> RPNConfig:
+        return RPNConfig(
+            num_classes=self.num_classes,
+            num_anchors=num_anchors,
+            feat_stride=self.feat_stride,
+            predict_acceptance_prob=self.predict_acceptance_prob,
+            acceptance_prob_mode=self.acceptance_prob_mode,
+            predict_uncertainty=self.has_un,
+            backbone=self.backbone_config(),
+        )
+
+    def loss_config(self) -> LossConfig:
+        return LossConfig(
+            num_classes=self.num_classes,
+            fg_fraction=self.fg_fraction,
+            box_samples=self.box_samples,
+            hard_negatives=self.hard_negatives,
+            focal_loss=self.focal_loss,
+            fg_thresh=self.fg_thresh,
+            ign_thresh=self.ign_thresh,
+            bg_thresh_lo=self.bg_thresh_lo,
+            bg_thresh_hi=self.bg_thresh_hi,
+            best_thresh=self.best_thresh,
+            cls_2d_lambda=self.cls_2d_lambda,
+            iou_2d_lambda=self.iou_2d_lambda,
+            bbox_2d_lambda=self.bbox_2d_lambda,
+            bbox_3d_lambda=self.bbox_3d_lambda,
+            bbox_axis_head_lambda=self.bbox_axis_head_lambda,
+            decomp_alpha=self.decomp_alpha,
+            use_nms_in_loss=self.use_nms_in_loss,
+            nms_thres=self.nms_thres,
+            diff_nms_pruning_method=self.diff_nms_pruning_method,
+            diff_nms_temperature=self.diff_nms_temperature,
+            diff_nms_valid_box_prob_threshold=self.diff_nms_valid_box_prob_threshold,
+            diff_nms_group_boxes=self.diff_nms_group_boxes,
+            diff_nms_mask_group_boxes=self.diff_nms_mask_group_boxes,
+            diff_nms_group_size=self.diff_nms_group_size,
+            after_nms_lambda=self.after_nms_lambda,
+            after_nms_loss_mode=self.after_nms_loss_mode,
+            rank_boxes_of_all_images_at_once=self.rank_boxes_of_all_images_at_once,
+            overlap_in_nms=self.overlap_in_nms,
+            best_target_box_beta=self.best_target_box_beta,
+            rank_with_class_confidence=self.rank_with_class_confidence,
+            predict_acceptance_prob=self.predict_acceptance_prob,
+            acceptance_prob_lambda=self.acceptance_prob_lambda,
+            acceptance_prob_mode=self.acceptance_prob_mode,
+            boxes_for_acceptance_prob=self.boxes_for_acceptance_prob,
+            use_acceptance_prob_in_regression_loss=self.use_acceptance_prob_in_regression_loss,
+            weigh_acceptance_prob_regularization=self.weigh_acceptance_prob_regularization,
+            weigh_3D_regression_loss_by_gt_iou3d=self.weigh_3D_regression_loss_by_gt_iou3d,
+            has_un=self.has_un,
+            bbox_un_lambda=self.bbox_un_lambda,
+            bbox_un_dynamic=self.bbox_un_dynamic,
+            max_nms_boxes=self.max_nms_boxes,
+            max_ap_boxes=self.max_ap_boxes,
+        )
+
+    def detect_config(self) -> DetectConfig:
+        return DetectConfig(
+            num_classes=self.num_classes,
+            nms_topN_pre=self.nms_topN_pre,
+            nms_topN_post=self.nms_topN_post,
+            nms_thres=self.nms_thres,
+            score_thres=self.score_thres,
+            clip_boxes=self.clip_boxes,
+            use_differentiable_nms=self.use_differentiable_nms_at_test,
+            diff_nms_pruning_method=self.diff_nms_pruning_method,
+            diff_nms_temperature=self.diff_nms_temperature,
+            diff_nms_valid_box_prob_threshold=self.diff_nms_valid_box_prob_threshold,
+            diff_nms_group_boxes=self.diff_nms_group_boxes,
+            diff_nms_mask_group_boxes=self.diff_nms_mask_group_boxes,
+            diff_nms_group_size=self.diff_nms_group_size,
+            overlap_in_nms=self.overlap_in_nms,
+            use_acceptance_prob_for_nms=self.use_acceptance_prob_for_nms,
+            decomp_alpha=self.decomp_alpha,
+        )
+
+    def replace(self, **kwargs) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    def dump(self, path):
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2, default=str)
+
+
+def load_config(name: str, search_package: str = "configs") -> ExperimentConfig:
+    """Import ``<search_package>.<name>`` and call its ``config()``.
+
+    Mirrors init_config (lib/core.py:35-45).
+    """
+    mod = importlib.import_module(f"{search_package}.{name}")
+    return mod.config()

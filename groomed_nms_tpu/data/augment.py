@@ -1,0 +1,156 @@
+"""Augmentation: device-side image transform + host-side label rewrites.
+
+Capability match for the reference's lib/augmentations.py, split TPU-first:
+
+* **Image path (device, jitted)**: ``preprocess_images`` does float convert,
+  bilinear resize to the target height, width crop/zero-pad to the fixed
+  crop, and mean/std normalisation -- one fused XLA program over the whole
+  batch instead of per-image cv2 calls (reference Resize/Normalize,
+  lib/augmentations.py:42-117).  Mirroring an image is a pure ``flip``
+  folded into the same program.
+* **Label path (host, numpy)**: ``mirror_labels`` rewrites the 3D ground
+  truth for a horizontal flip -- x2d center reflection, rotY negate-and-snap,
+  re-backprojection of the 3D center through P2^-1, and recomputation of
+  alpha / alpha_sin / alpha_cos / axis / head (reference RandomMirror,
+  lib/augmentations.py:217-302).  ``scale_labels`` applies the resize scale
+  to the 2D boxes and projected centers (reference Resize.scale_gts).
+
+Photometric distortion (ColorJitter, disabled in all shipped configs via
+``distort_prob=-1``) is provided as ``photometric_distort`` on device using
+``jax.random`` -- brightness/contrast/saturation jitter.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kitti import decompose_alpha, rot_y_to_alpha
+
+
+# ---------------------------------------------------------------------------
+# device-side image pipeline
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("target_h", "crop_w"))
+def preprocess_images(images, mirror, means, stds, *, target_h, crop_w):
+    """uint8 [B, H0, W0, 3] -> normalised float32 [B, target_h, crop_w, 3].
+
+    Args:
+      images: batch of same-sized decoded images (a KITTI split has only a
+        handful of distinct sizes, so at most a few compiles).
+      mirror: [B] bool; horizontally flip these images (before resize).
+      means / stds: [3] channel statistics (0-1 scale).
+
+    Scale factor is ``target_h / H0``; width is scaled by the same factor
+    then cropped or zero-padded to ``crop_w``, exactly like the reference's
+    Resize (lib/augmentations.py:86-105).
+    """
+    b, h0, w0, _ = images.shape
+    x = images.astype(jnp.float32)
+    x = jnp.where(mirror[:, None, None, None], x[:, :, ::-1, :], x)
+
+    scale = target_h / h0
+    new_w = int(round(w0 * scale))
+    x = jax.image.resize(x, (b, target_h, new_w, 3), method="bilinear")
+    if new_w > crop_w:
+        x = x[:, :, :crop_w, :]
+    elif new_w < crop_w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, crop_w - new_w), (0, 0)))
+
+    x = x / 255.0
+    x = (x - jnp.asarray(means)) / jnp.asarray(stds)
+    return x
+
+
+def photometric_distort(key, images, brightness=0.2, contrast=0.2,
+                        saturation=0.2):
+    """Per-image brightness/contrast/saturation jitter on device.
+
+    A jax.random analog of the reference's torchvision ColorJitter
+    (lib/augmentations.py:344, disabled in shipped configs).
+    ``images`` float in [0, 255].
+    """
+    b = images.shape[0]
+    kb, kc, ks = jax.random.split(key, 3)
+    f_b = jax.random.uniform(kb, (b, 1, 1, 1), minval=1 - brightness,
+                             maxval=1 + brightness)
+    f_c = jax.random.uniform(kc, (b, 1, 1, 1), minval=1 - contrast,
+                             maxval=1 + contrast)
+    f_s = jax.random.uniform(ks, (b, 1, 1, 1), minval=1 - saturation,
+                             maxval=1 + saturation)
+    x = images * f_b
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x = (x - mean) * f_c + mean
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    x = (x - gray) * f_s + gray
+    return jnp.clip(x, 0.0, 255.0)
+
+
+# ---------------------------------------------------------------------------
+# host-side label rewrites
+# ---------------------------------------------------------------------------
+
+def scale_labels(gts, scale_factor):
+    """Scale 2D boxes + projected 3D centers (reference Resize.scale_gts)."""
+    if not gts or len(gts.get("cls", [])) == 0:
+        return gts
+    out = dict(gts)
+    out["bbox_full"] = gts["bbox_full"] * scale_factor
+    b3 = gts["bbox_3d"].copy()
+    b3[:, 0] *= scale_factor
+    b3[:, 1] *= scale_factor
+    out["bbox_3d"] = b3
+    return out
+
+
+def mirror_labels(gts, p2_inv, image_width):
+    """Rewrite ground truth for a horizontal flip at original resolution.
+
+    Reference RandomMirror.flip_gts (lib/augmentations.py:217-279): reflect
+    the 2D box and the projected center x, negate-and-snap rotY, backproject
+    the (new) projected center through P2^-1 to get the flipped 3D center,
+    and recompute alpha and its decomposition.  ``elevation`` (col 11) is
+    intentionally left stale, matching the reference.
+    """
+    if not gts or len(gts.get("cls", [])) == 0:
+        return gts
+    out = dict(gts)
+    bf = gts["bbox_full"].copy()
+    bf[:, 0] = image_width - bf[:, 0] - bf[:, 2]
+    out["bbox_full"] = bf
+
+    b3 = gts["bbox_3d"].copy()
+    n = b3.shape[0]
+    for i in range(n):
+        b3[i, 0] = image_width - b3[i, 0] - 1
+        rot_y = b3[i, 10]
+        rot_y = (-math.pi - rot_y) if rot_y < 0 else (math.pi - rot_y)
+        while rot_y > math.pi:
+            rot_y -= 2 * math.pi
+        while rot_y < -math.pi:
+            rot_y += 2 * math.pi
+
+        cx2d, cy2d, cz2d = b3[i, 0], b3[i, 1], b3[i, 2]
+        coord3d = p2_inv @ np.array([cx2d * cz2d, cy2d * cz2d, cz2d, 1.0])
+        alpha = rot_y_to_alpha(rot_y, coord3d[2], coord3d[0])
+        a_sin, a_cos, axis_lbl, head_lbl = decompose_alpha(alpha)
+
+        b3[i, 6] = alpha
+        b3[i, 7:10] = coord3d[:3]
+        b3[i, 10] = rot_y
+        b3[i, 12] = a_sin
+        b3[i, 13] = a_cos
+        b3[i, 14] = axis_lbl
+        b3[i, 15] = head_lbl
+    out["bbox_3d"] = b3
+    if "rotY" in gts:
+        out["rotY"] = b3[:, 10].copy()
+        out["alpha"] = b3[:, 6].copy()
+    if "center_3d" in gts:
+        out["center_3d"] = b3[:, 7:10].copy()
+    return out

@@ -1,0 +1,199 @@
+"""Dataset-level precomputation: anchor priors + bbox statistics + loader.
+
+Capability match for the reference's per-experiment initialisation
+(generate_anchors lib/rpn_util.py:24-216, compute_bbox_stats
+lib/rpn_util.py:547-736, Dataset/DataLoader lib/imdb_util.py:405-557),
+re-organised as explicit host-side passes that cache one ``anchors.npz``
+artifact per experiment, plus a prefetching batch loader that feeds the
+jitted train step padded fixed-shape batches.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+from ..anchors import (compute_targets, generate_anchor_templates,
+                       learn_anchor_priors, locate_anchors)
+from .augment import mirror_labels, scale_labels
+from .imdb import balance_samples, class_indices, determine_ignores, \
+    pad_gt_batch
+
+
+def _scaled_valid_gts(rec, cfg):
+    """Filter + scale one record's GTs to network input resolution."""
+    if not rec.gts or len(rec.gts.get("cls", [])) == 0:
+        return None
+    scale = cfg.test_scale / rec.im_h
+    gts = scale_labels(rec.gts, scale)
+    igns, rmvs = determine_ignores(gts, list(cfg.lbls), list(cfg.ilbls),
+                                   cfg.min_gt_vis, cfg.min_gt_h)
+    val = ~igns & ~rmvs
+    if not val.any():
+        return None
+    return gts, val, scale
+
+
+def prepare_anchors(cfg, imdb, cache_dir=None):
+    """Learn per-anchor 3D priors + target mean/std over the imdb.
+
+    Returns (anchors [A, 9+2], bbox_means [13], bbox_stds [13]); caches to
+    ``cache_dir/anchors.npz``.  Mirrors the reference's two passes
+    (anchor matching at lib/rpn_util.py:119-186; stats accumulation at
+    lib/rpn_util.py:567-716) but fuses the stats into one pass with float64
+    accumulators.
+    """
+    cache = os.path.join(cache_dir, "anchors.npz") if cache_dir else None
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        return z["anchors"], z["bbox_means"], z["bbox_stds"]
+
+    templates = generate_anchor_templates(cfg.anchor_scales,
+                                          cfg.anchor_ratios, cfg.feat_stride)
+
+    # pass 1: match every valid GT to its best template (center-aligned)
+    all_gts2d, all_gts3d = [], []
+    for rec in imdb:
+        sv = _scaled_valid_gts(rec, cfg)
+        if sv is None:
+            continue
+        gts, val, _ = sv
+        boxes = gts["bbox_full"][val]
+        # center each GT box at the anchor origin (reference
+        # lib/rpn_util.py:85-89)
+        w, h = boxes[:, 2], boxes[:, 3]
+        c = (cfg.feat_stride - 1) / 2.0
+        centered = np.stack([c - w / 2, c - h / 2, c + w / 2, c + h / 2],
+                            axis=1)
+        all_gts2d.append(centered)
+        all_gts3d.append(gts["bbox_3d"][val])
+    gts2d = np.concatenate(all_gts2d, 0) if all_gts2d else np.zeros((0, 4))
+    gts3d = np.concatenate(all_gts3d, 0) if all_gts3d else np.zeros((0, 16))
+    anchors = learn_anchor_priors(templates, gts2d.astype(np.float32), gts3d)
+
+    # pass 2: target statistics via the same device-side assignment the
+    # loss uses (guarantees normalisation consistency)
+    import jax.numpy as jnp
+    feat_hw = (int(np.ceil(cfg.crop_size[0] / cfg.feat_stride)),
+               int(np.ceil(cfg.crop_size[1] / cfg.feat_stride)))
+    rois = np.asarray(locate_anchors(anchors, feat_hw, cfg.feat_stride))
+    rois_3d = anchors[rois[:, 4].astype(np.int64), 4:]
+    rois_j = jnp.asarray(rois)
+    rois_3d_j = jnp.asarray(rois_3d)
+
+    total = 0
+    s = np.zeros(13, np.float64)
+    sq = np.zeros(13, np.float64)
+    for rec in imdb:
+        sv = _scaled_valid_gts(rec, cfg)
+        if sv is None:
+            continue
+        gts, val, _ = sv
+        boxes = gts["bbox_full"][val].astype(np.float32)
+        corners = np.stack([boxes[:, 0], boxes[:, 1],
+                            boxes[:, 0] + boxes[:, 2] - 1,
+                            boxes[:, 1] + boxes[:, 3] - 1], axis=1)
+        lbl = class_indices({k: v[val] if hasattr(v, "__getitem__") else v
+                             for k, v in gts.items()}, list(cfg.lbls))
+        tgt = compute_targets(
+            rois_j, rois_3d_j, jnp.asarray(corners),
+            jnp.asarray(gts["bbox_3d"][val].astype(np.float32)),
+            jnp.asarray(lbl), jnp.ones((corners.shape[0],), bool),
+            jnp.zeros((1, 4)), jnp.zeros((1,), bool),
+            fg_thresh=cfg.fg_thresh, ign_thresh=cfg.ign_thresh,
+            bg_thresh_lo=cfg.bg_thresh_lo, bg_thresh_hi=cfg.bg_thresh_hi,
+            best_thresh=cfg.best_thresh, decomp_alpha=cfg.decomp_alpha)
+        fg = np.asarray(tgt.fg_mask)
+        if not fg.any():
+            continue
+        rows = np.concatenate([np.asarray(tgt.transforms_2d)[fg],
+                               np.asarray(tgt.transforms_3d)[fg, :9]], axis=1)
+        rows = rows[np.isfinite(rows).all(axis=1)].astype(np.float64)
+        total += rows.shape[0]
+        s += rows.sum(0)
+        sq += (rows ** 2).sum(0)
+
+    if total:
+        means = s / total
+        stds = np.sqrt(np.maximum(sq / total - means ** 2, 1e-12))
+    else:
+        means, stds = np.zeros(13), np.ones(13)
+
+    if cache:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(cache, anchors=anchors, bbox_means=means, bbox_stds=stds)
+    return anchors, means, stds
+
+
+class TrainLoader:
+    """Weighted-sampling batch loader with background prefetch.
+
+    Replaces the reference's torch DataLoader + WeightedRandomSampler
+    (lib/imdb_util.py:424-433): decodes + mirrors labels on the host, keeps
+    images uint8 (resize/normalise happen on device via
+    :func:`~groomed_nms_tpu.data.augment.preprocess_images`).
+    """
+
+    def __init__(self, imdb, cfg, seed=0, prefetch=4):
+        self.imdb = imdb
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.weights = balance_samples(imdb, list(cfg.lbls), list(cfg.ilbls),
+                                       cfg.min_gt_vis, cfg.min_gt_h,
+                                       cfg.fg_image_ratio)
+        self._q = queue.Queue(maxsize=prefetch)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _load_image(self, rec):
+        from PIL import Image
+        with Image.open(rec.image_path) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
+
+    def _make_batch(self):
+        cfg = self.cfg
+        idx = self.rng.choice(len(self.imdb), size=cfg.batch_size,
+                              p=self.weights)
+        images, gts_list, p2s, scales, mirrors = [], [], [], [], []
+        for i in idx:
+            rec = self.imdb[i]
+            img = self._load_image(rec)
+            mirror = self.rng.random() <= cfg.mirror_prob
+            gts = rec.gts
+            if mirror and gts:
+                gts = mirror_labels(gts, rec.p2_inv, img.shape[1])
+            scale = cfg.test_scale / img.shape[0]
+            if gts:
+                gts = scale_labels(gts, scale)
+            images.append(img)
+            gts_list.append(gts)
+            p2s.append(rec.p2)
+            scales.append(scale)
+            mirrors.append(mirror)
+
+        # all KITTI images in one split share a size; pad if they differ
+        h0 = max(im.shape[0] for im in images)
+        w0 = max(im.shape[1] for im in images)
+        img_arr = np.zeros((cfg.batch_size, h0, w0, 3), np.uint8)
+        for bi, im in enumerate(images):
+            img_arr[bi, :im.shape[0], :im.shape[1]] = im
+
+        gt_batch = pad_gt_batch(gts_list, p2s, scales, list(cfg.lbls),
+                                list(cfg.ilbls), cfg.min_gt_vis, cfg.min_gt_h,
+                                max_gts=cfg.max_gts, max_igns=cfg.max_igns)
+        return {"images_u8": img_arr,
+                "mirror": np.asarray(mirrors, bool),
+                "gt": gt_batch}
+
+    def _worker(self):
+        while True:
+            self._q.put(self._make_batch())
+
+    def __next__(self):
+        return self._q.get()
+
+    def __iter__(self):
+        return self

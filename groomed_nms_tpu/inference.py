@@ -1,0 +1,251 @@
+"""Batched 3D detection inference -- one XLA program per batch.
+
+Capability match for the reference's ``im_detect_3d`` + ``test_kitti_3d_old``
+(lib/rpn_util.py:1052-1487), re-designed TPU-first:
+
+* the reference runs batch-1 with five device<->host round trips per image
+  (decode on device, sort/top-k in numpy, CUDA NMS, numpy hstack, host clip);
+  here the full pipeline -- forward, decode, de-normalisation, closed-form
+  P2^-1 backprojection, decomp-alpha orientation selection, score fusion with
+  the acceptance probability, top-k pre-NMS, classical greedy NMS *or*
+  GrooMeD-NMS, and top-k post-NMS -- is a single jitted function over a
+  whole image batch.  Only the final KITTI txt formatting is host-side.
+
+* outputs are fixed-shape [B, topN_post, 17] + validity mask; padded rows
+  have score 0.
+
+Detection row layout (input-resolution-independent, original image scale):
+  [x1, y1, x2, y2, score, cls,
+   x2d, y2d, z2d,              (projected 3D center, original pixels)
+   w3d, h3d, l3d, alpha,
+   x3d, y3d, z3d, ry3d]        (camera frame; y3d at cuboid *center*)
+The host writer re-grounds y3d += h3d/2 (reference lib/rpn_util.py:1471).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.boxes import bbox_transform_inv
+from .ops.geometry import alpha_to_rot_y, rot_y_to_alpha, snap_to_pi, \
+    get_corners_of_cuboid
+from .ops.groomed_nms import differentiable_nms
+from .ops.iou import pairwise_iou, iou3d_approximate
+
+
+@dataclass(frozen=True)
+class DetectConfig:
+    num_classes: int = 4
+    nms_topN_pre: int = 3000
+    nms_topN_post: int = 40
+    nms_thres: float = 0.4
+    score_thres: float = 0.6
+    clip_boxes: bool = False
+    # NMS flavor: classical greedy (False) or GrooMeD (True)
+    use_differentiable_nms: bool = False
+    diff_nms_boxes: int = 512           # reference caps at 500
+    diff_nms_pruning_method: str = "linear"
+    diff_nms_temperature: float = 0.1
+    diff_nms_valid_box_prob_threshold: float = 0.3
+    diff_nms_group_boxes: bool = True
+    diff_nms_mask_group_boxes: bool = True
+    diff_nms_group_size: int = 100
+    overlap_in_nms: str = "2d"
+    # score fusion
+    use_acceptance_prob_for_nms: bool = True
+    decomp_alpha: bool = True
+
+
+NUM_DET_COLS = 17
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_detections(outputs, rois, rois_3d, p2, p2_inv, scale_factor,
+                      bbox_means, bbox_stds, cfg: DetectConfig):
+    """Decode raw head outputs into per-anchor detection rows.
+
+    Args:
+      outputs: dict of head outputs ('prob' [B,R,C], 'bbox_2d', 'bbox_3d',
+        optional 'accept_prob'/'uncertainty').
+      rois / rois_3d: [R, 5] anchors + [R, P] 3D priors.
+      p2 / p2_inv: [B, 4, 4]; scale_factor: [B].
+
+    Returns (dets [B, R, 17], scores [B, R]) in original image coordinates.
+    """
+    prob = outputs["prob"]
+    bbox_2d = outputs["bbox_2d"]
+    bbox_3d = outputs["bbox_3d"]
+    means = jnp.asarray(bbox_means, jnp.float32)
+    stds = jnp.asarray(bbox_stds, jnp.float32)
+    b, r, _ = prob.shape
+
+    coords_2d = bbox_transform_inv(rois[None, :, :4], bbox_2d,
+                                   means=means[:4], stds=stds[:4])
+    coords_2d = coords_2d / scale_factor[:, None, None]
+
+    widths = rois[:, 2] - rois[:, 0] + 1.0
+    heights = rois[:, 3] - rois[:, 1] + 1.0
+    ctr_x = rois[:, 0] + 0.5 * widths
+    ctr_y = rois[:, 1] + 0.5 * heights
+
+    if cfg.decomp_alpha:
+        stat_idx = jnp.array([4, 5, 6, 7, 8, 9, 11, 12])
+    else:
+        stat_idx = jnp.array([4, 5, 6, 7, 8, 9, 10])
+    dn = bbox_3d[..., :stat_idx.shape[0]] * stds[stat_idx] + means[stat_idx]
+
+    x2d = (dn[..., 0] * widths + ctr_x) / scale_factor[:, None]
+    y2d = (dn[..., 1] * heights + ctr_y) / scale_factor[:, None]
+    z2d = rois_3d[:, 0] + dn[..., 2]
+    w3d = jnp.exp(dn[..., 3]) * rois_3d[:, 1]
+    h3d = jnp.exp(dn[..., 4]) * rois_3d[:, 2]
+    l3d = jnp.exp(dn[..., 5]) * rois_3d[:, 3]
+
+    if cfg.decomp_alpha:
+        rsin = rois_3d[:, 5] + dn[..., 6]
+        rcos = rois_3d[:, 6] + dn[..., 7]
+        axis_mask = bbox_3d[..., 8] >= 0.5
+        head_mask = bbox_3d[..., 9] >= 0.5
+        alpha = jnp.where(axis_mask, rsin, rcos)
+        alpha = alpha + jnp.where(head_mask, jnp.pi, 0.0)
+    else:
+        alpha = rois_3d[:, 4] + dn[..., 6]
+
+    # backproject the projected center through P2^-1 (reference
+    # lib/rpn_util.py:1205-1215)
+    ones = jnp.ones_like(z2d)
+    pts = jnp.stack([x2d * z2d, y2d * z2d, z2d, ones], axis=-1)  # [B, R, 4]
+    cam = jnp.einsum("bij,brj->bri", p2_inv, pts,
+                     precision=jax.lax.Precision.HIGHEST)
+    x3d, y3d, z3d = cam[..., 0], cam[..., 1], cam[..., 2]
+    ry3d = alpha_to_rot_y(snap_to_pi(alpha), z3d, x3d)
+    alpha_out = rot_y_to_alpha(ry3d, z3d, x3d)
+
+    cls_pred = (jnp.argmax(prob[..., 1:], axis=-1) + 1).astype(jnp.float32)
+    scores = jnp.max(prob[..., 1:], axis=-1)
+    accept = outputs.get("accept_prob")
+    if accept is None:
+        accept = outputs.get("uncertainty")
+    if cfg.use_acceptance_prob_for_nms and accept is not None:
+        scores = scores * accept
+
+    dets = jnp.stack([
+        coords_2d[..., 0], coords_2d[..., 1], coords_2d[..., 2],
+        coords_2d[..., 3], scores, cls_pred,
+        x2d, y2d, z2d, w3d, h3d, l3d, alpha_out,
+        x3d, y3d, z3d, ry3d,
+    ], axis=-1)
+    return dets, scores
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def nms_and_topk(dets, scores, cfg: DetectConfig):
+    """Top-k pre-NMS -> NMS -> top-k post. [B,R,17] -> [B,topN_post,17]+mask."""
+
+    def per_image(d, s):
+        k_pre = min(cfg.nms_topN_pre, s.shape[0])
+        vals, idx = jax.lax.top_k(s, k_pre)
+        d = d[idx]
+        if cfg.use_differentiable_nms:
+            k = min(cfg.diff_nms_boxes, k_pre)
+            d = d[:k]
+            vals = vals[:k]
+            iou2d = pairwise_iou(d[:, :4], d[:, :4])
+            if cfg.overlap_in_nms != "2d":
+                corners = get_corners_of_cuboid(
+                    d[:, 13], d[:, 14], d[:, 15], d[:, 9], d[:, 10],
+                    d[:, 11], d[:, 16])
+                _, g3d = iou3d_approximate(corners, corners, pairwise=True,
+                                           generalized=True)
+                g3d = 0.5 * (1.0 + g3d)
+                overlaps = g3d if cfg.overlap_in_nms == "3d" else iou2d * g3d
+                overlaps = jnp.nan_to_num(overlaps, nan=0.0)
+            else:
+                overlaps = iou2d
+            res = differentiable_nms(
+                vals, overlaps,
+                nms_threshold=cfg.nms_thres,
+                pruning_method=cfg.diff_nms_pruning_method,
+                temperature=cfg.diff_nms_temperature,
+                valid_box_prob_threshold=cfg.diff_nms_valid_box_prob_threshold,
+                group_boxes=cfg.diff_nms_group_boxes,
+                mask_group_boxes=cfg.diff_nms_mask_group_boxes,
+                group_size=cfg.diff_nms_group_size)
+            keep_score = jnp.where(res.keep, vals, -1.0)
+        else:
+            # greedy suppression sweep over the score-sorted prefix; rows are
+            # already sorted so the sweep is a fori_loop of O(N) VPU ops
+            # (replaces the reference's CUDA bitmask kernel + host sweep,
+            # lib/nms/nms_kernel.cu:24-144)
+            iou_mat = pairwise_iou(d[:, :4], d[:, :4], shift=1.0)
+            n = d.shape[0]
+
+            def body(i, alive):
+                suppress = alive[i] & (iou_mat[i] > cfg.nms_thres) & \
+                    (jnp.arange(n) > i)
+                return alive & ~suppress
+
+            alive = jax.lax.fori_loop(0, n, body, vals > 0)
+            keep_score = jnp.where(alive, vals, -1.0)
+
+        k_post = min(cfg.nms_topN_post, keep_score.shape[0])
+        post_vals, post_idx = jax.lax.top_k(keep_score, k_post)
+        out = d[post_idx]
+        valid = post_vals > 0
+        return out, valid
+
+    return jax.vmap(per_image)(dets, scores)
+
+
+def detect_batch(apply_fn, variables, images, rois, rois_3d, p2, p2_inv,
+                 scale_factor, bbox_means, bbox_stds, cfg: DetectConfig):
+    """Full inference for one preprocessed image batch (convenience driver)."""
+    out = apply_fn(variables, images, train=False)
+    outputs = {"prob": out.prob, "bbox_2d": out.bbox_2d,
+               "bbox_3d": out.bbox_3d, "accept_prob": out.accept_prob,
+               "uncertainty": out.uncertainty}
+    dets, scores = decode_detections(outputs, rois, rois_3d, p2, p2_inv,
+                                     scale_factor, bbox_means, bbox_stds, cfg)
+    return nms_and_topk(dets, scores, cfg)
+
+
+def write_kitti_detections(path, dets, valid, class_names,
+                           score_thres=0.6, classes_to_write=None):
+    """Write one image's detections in KITTI result format (host-side).
+
+    Matches the reference writer (lib/rpn_util.py:1437-1480) including the
+    load-bearing 6-decimal precision and the ``y3d += h3d/2`` re-grounding.
+    ``dets`` rows use the 17-col layout of :func:`decode_detections`.
+    """
+    dets = np.asarray(dets)
+    valid = np.asarray(valid)
+    lines = []
+    for i in range(dets.shape[0]):
+        if not valid[i]:
+            continue
+        row = dets[i]
+        score = row[4]
+        cls_idx = int(row[5]) - 1
+        if cls_idx < 0 or cls_idx >= len(class_names):
+            continue
+        cls = class_names[cls_idx]
+        if score <= score_thres:
+            continue
+        if classes_to_write is not None and cls not in classes_to_write:
+            continue
+        x1, y1, x2, y2 = row[0], row[1], row[2], row[3]
+        w3d, h3d, l3d = row[9], row[10], row[11]
+        alpha, x3d, y3d, z3d, ry3d = row[12], row[13], row[14], row[15], row[16]
+        y3d = y3d + h3d / 2.0
+        lines.append(
+            f"{cls} -1 -1 {alpha:.6f} {x1:.6f} {y1:.6f} {x2:.6f} {y2:.6f} "
+            f"{h3d:.6f} {w3d:.6f} {l3d:.6f} {x3d:.6f} {y3d:.6f} {z3d:.6f} "
+            f"{ry3d:.6f} {score:.6f}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))

@@ -1,0 +1,85 @@
+"""Orbax-backed checkpoint save / auto-resume.
+
+Capability match for the reference's save_checkpoint / resume_checkpoint /
+checkpoint_names (lib/core.py:925-978): model + optimizer snapshots every
+``snapshot_iter``, restore by iteration number or latest, tolerant of a
+missing optimizer (reference lib/core.py:936-940 swallows optimizer-load
+failures when warm-starting across configs).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(output_dir, step):
+    return os.path.join(os.path.abspath(output_dir), "weights",
+                        f"checkpoint_{step}")
+
+
+def save_checkpoint(output_dir, state, step=None):
+    step = int(state.step) if step is None else int(step)
+    path = _ckpt_dir(output_dir, step)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "step": np.asarray(step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "un_state": {
+            "lam": jax.device_get(state.un_state.lam),
+            "n": jax.device_get(state.un_state.n),
+        },
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(output_dir):
+    wdir = os.path.join(output_dir, "weights")
+    if not os.path.isdir(wdir):
+        return None
+    steps = []
+    for name in os.listdir(wdir):
+        m = re.fullmatch(r"checkpoint_(\d+)", name)
+        if m:
+            steps.append(int(m.group(1)))
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(output_dir, state, step=None, restore_optimizer=True):
+    """Restore into an existing TrainState template. Returns the new state."""
+    from ..losses.rpn_3d import UncertaintyState
+
+    if step is None:
+        step = latest_checkpoint(output_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {output_dir}")
+    path = _ckpt_dir(output_dir, step)
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "step": np.asarray(0),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "un_state": {"lam": np.zeros(()), "n": np.zeros((), np.int32)},
+    }
+    payload = ckptr.restore(path, template)
+    new = state.replace(
+        step=jax.numpy.asarray(payload["step"], jax.numpy.int32),
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        un_state=UncertaintyState(lam=payload["un_state"]["lam"],
+                                  n=payload["un_state"]["n"]))
+    if restore_optimizer:
+        try:
+            new = new.replace(opt_state=payload["opt_state"])
+        except Exception:
+            pass  # tolerate optimizer mismatch on warm starts
+    return new

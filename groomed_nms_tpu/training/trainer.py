@@ -1,0 +1,128 @@
+"""TrainState + jitted train step with gradient accumulation.
+
+Capability match for the reference's init_training_model / loss_backprop
+(lib/core.py:48-113):
+
+* SGD(momentum, weight-decay) / Adam / Adamax via optax, with the
+  reference's gradient clip-by-value 1.0 applied *before* weight decay,
+  matching torch's ``clip_grad_value_`` + SGD weight-decay ordering;
+* ``batch_skip`` gradient accumulation (reference lib/core.py:108-113)
+  via ``optax.MultiSteps`` -- the optimizer applies every k-th step and
+  accumulates in between, inside the same jitted step (no host logic);
+* BatchNorm statistics updated functionally through ``mutable`` collections;
+  ``freeze_bn`` becomes a static flag that routes BN through running stats.
+
+The step function is built once per config by :func:`make_train_step` and is
+mesh-shardable via :func:`~groomed_nms_tpu.parallel.shard_train_step`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.rpn_3d import LossConfig, UncertaintyState, rpn_3d_loss
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    un_state: UncertaintyState
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+
+
+def build_optimizer(solver_type="sgd", lr_schedule=None, momentum=0.9,
+                    weight_decay=0.0005, clip_value=1.0, batch_skip=1):
+    """Reference lib/core.py:71-93 optimizer menu + grad accumulation."""
+    parts = []
+    if clip_value:
+        parts.append(optax.clip(clip_value))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if solver_type == "sgd":
+        parts.append(optax.trace(decay=momentum, nesterov=False))
+    elif solver_type == "adam":
+        parts.append(optax.scale_by_adam())
+    elif solver_type == "adamax":
+        parts.append(optax.scale_by_adamax())
+    else:
+        raise NotImplementedError(solver_type)
+    parts.append(optax.scale_by_learning_rate(lr_schedule))
+    tx = optax.chain(*parts)
+    if batch_skip and batch_skip > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=batch_skip)
+    return tx
+
+
+def create_train_state(model, images_shape, tx, rng=None, train=True):
+    """Initialise model variables + optimizer state."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros(images_shape, jnp.float32),
+                           train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        un_state=UncertaintyState.init(),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
+                    bbox_stds, train_bn=True):
+    """Build the (state, batch) -> (state, metrics) step function.
+
+    ``batch`` is a dict with 'images' [B, H, W, 3] plus the GTBatch fields
+    (see :class:`~groomed_nms_tpu.losses.rpn_3d.GTBatch`).
+    """
+    from ..losses.rpn_3d import GTBatch
+
+    def train_step(state: TrainState, batch):
+        gt = GTBatch(
+            gts_2d=batch["gts_2d"], gts_3d=batch["gts_3d"],
+            gt_labels=batch["gt_labels"], gt_valid=batch["gt_valid"],
+            ign_2d=batch["ign_2d"], ign_valid=batch["ign_valid"],
+            p2=batch["p2"], scale=batch["scale"])
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if train_bn:
+                out, mutated = state.apply_fn(
+                    variables, batch["images"], train=True,
+                    mutable=["batch_stats"])
+                new_bs = mutated["batch_stats"]
+            else:
+                out = state.apply_fn(variables, batch["images"], train=False)
+                new_bs = state.batch_stats
+            outputs = {"cls": out.cls, "prob": out.prob,
+                       "bbox_2d": out.bbox_2d, "bbox_3d": out.bbox_3d,
+                       "accept_prob": out.accept_prob,
+                       "uncertainty": out.uncertainty}
+            loss, stats, new_un = rpn_3d_loss(
+                outputs, rois, rois_3d, gt, bbox_means, bbox_stds,
+                state.un_state, loss_cfg)
+            return loss, (stats, new_un, new_bs)
+
+        (loss, (stats, new_un, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_state=new_opt, un_state=new_un)
+        return new_state, stats
+
+    return train_step

@@ -1,0 +1,155 @@
+"""Convert reference torch checkpoints into this framework's Flax params.
+
+The reference trains torchvision DenseNet-121 (NCHW, OIHW convs) with 14
+separate 1x1 head convs; this framework uses NHWC/HWIO and one fused head
+conv with per-anchor channel blocks in (h, w, a) order.  The converter:
+
+* maps ``base.*`` (torchvision ``features``) onto ``backbone/*`` --
+  conv kernels transposed OIHW -> HWIO, BatchNorm weight/bias/running_mean/
+  running_var onto scale/bias/mean/var;
+* assembles the fused head kernel from the reference's separate convs
+  (``cls``, ``bbox_x..bbox_h``, ``bbox_x3d..bbox_head``), permuting output
+  channels from the reference's class-major [cls: c*A + a] / per-field [a]
+  layouts into our anchor-major [a * C_total + field] layout;
+* maps the acceptance-prob branch (``acceptance_prob.layer_i``).
+
+Works on a plain ``state_dict``-style mapping of numpy arrays (load a torch
+.pth with ``torch.load(..., map_location='cpu')`` and call ``.numpy()``), so
+torch itself is only needed by the caller.  ``module.`` prefixes from
+DataParallel are stripped, mirroring load_weights (lib/core.py:641-668).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_DENSE_RE = re.compile(r"denseblock(\d+)\.denselayer(\d+)\.(.+)")
+_TRANS_RE = re.compile(r"transition(\d+)\.(.+)")
+
+_HEAD_FIELDS_3D = ["bbox_x3d", "bbox_y3d", "bbox_z3d", "bbox_w3d",
+                   "bbox_h3d", "bbox_l3d"]
+
+
+def _conv(w):
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _strip(sd):
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+def _bn(dst_params, dst_stats, name, sd, prefix):
+    dst_params[name] = {"scale": np.asarray(sd[prefix + ".weight"]),
+                        "bias": np.asarray(sd[prefix + ".bias"])}
+    dst_stats[name] = {"mean": np.asarray(sd[prefix + ".running_mean"]),
+                       "var": np.asarray(sd[prefix + ".running_var"])}
+
+
+def convert_backbone(sd):
+    """torchvision ``features`` state dict -> (params, batch_stats) trees."""
+    sd = _strip(sd)
+    params, stats = {}, {}
+
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
+
+    params["conv0"] = {"kernel": _conv(sd["conv0.weight"])}
+    _bn(params, stats, "norm0", sd, "norm0")
+
+    for key in list(sd):
+        m = _DENSE_RE.fullmatch(key)
+        if m and key.endswith("conv1.weight"):
+            bi, li = int(m.group(1)), int(m.group(2))
+            base = f"denseblock{bi}.denselayer{li}"
+            name = f"denseblock{bi}_layer{li}"
+            layer_p, layer_s = {}, {}
+            _bn(layer_p, layer_s, "norm1", sd, base + ".norm1")
+            layer_p["conv1"] = {"kernel": _conv(sd[base + ".conv1.weight"])}
+            _bn(layer_p, layer_s, "norm2", sd, base + ".norm2")
+            layer_p["conv2"] = {"kernel": _conv(sd[base + ".conv2.weight"])}
+            params[name] = layer_p
+            stats[name] = layer_s
+
+    for key in list(sd):
+        m = _TRANS_RE.fullmatch(key)
+        if m and key.endswith("conv.weight"):
+            ti = int(m.group(1))
+            base, name = f"transition{ti}", f"transition{ti}"
+            layer_p, layer_s = {}, {}
+            _bn(layer_p, layer_s, "norm", sd, base + ".norm")
+            layer_p["conv"] = {"kernel": _conv(sd[base + ".conv.weight"])}
+            params[name] = layer_p
+            stats[name] = layer_s
+
+    _bn(params, stats, "norm5", sd, "norm5")
+    return params, stats
+
+
+def convert_rpn_checkpoint(sd, num_classes, num_anchors,
+                           predict_acceptance_prob=False):
+    """Full reference RPN state dict -> {'params', 'batch_stats'} trees.
+
+    The reference's bbox_3d head has no separate rsin/rcos convs -- the
+    single ``bbox_alpha`` conv output feeds both decode paths
+    (models/...alpha.py:189) -- so its kernel is duplicated into our two
+    channels.
+    """
+    sd = _strip(sd)
+    base_sd = {k[len("base."):]: v for k, v in sd.items()
+               if k.startswith("base.")}
+    bb_params, bb_stats = convert_backbone(base_sd)
+
+    params = {"backbone": bb_params}
+    stats = {"backbone": bb_stats}
+
+    params["prop_feats"] = {
+        "kernel": _conv(sd["prop_feats.0.weight"]),
+        "bias": np.asarray(sd["prop_feats.0.bias"]),
+    }
+
+    a, c = num_anchors, num_classes
+    per_anchor = c + 4 + 10
+    in_ch = sd["cls.weight"].shape[1]
+    kernel = np.zeros((1, 1, in_ch, a * per_anchor), np.float32)
+    bias = np.zeros((a * per_anchor,), np.float32)
+
+    def put(field_idx, w, b, anchor_stride=1):
+        """w: [A(or c*A), in, 1, 1]; scatter into fused layout."""
+        w = np.asarray(w)[..., 0, 0]          # [out, in]
+        b = np.asarray(b)
+        for ai in range(a):
+            for off in range(anchor_stride):
+                src = off * a + ai if anchor_stride > 1 else ai
+                dst = ai * per_anchor + field_idx + off
+                kernel[0, 0, :, dst] = w[src]
+                bias[dst] = b[src]
+
+    # cls: reference channel = class * A + anchor
+    put(0, sd["cls.weight"], sd["cls.bias"], anchor_stride=c)
+    for fi, field in enumerate(["bbox_x", "bbox_y", "bbox_w", "bbox_h"]):
+        put(c + fi, sd[field + ".weight"], sd[field + ".bias"])
+    for fi, field in enumerate(_HEAD_FIELDS_3D):
+        put(c + 4 + fi, sd[field + ".weight"], sd[field + ".bias"])
+    # rsin and rcos both come from bbox_alpha (see docstring)
+    put(c + 10, sd["bbox_alpha.weight"], sd["bbox_alpha.bias"])
+    put(c + 11, sd["bbox_alpha.weight"], sd["bbox_alpha.bias"])
+    put(c + 12, sd["bbox_axis.weight"], sd["bbox_axis.bias"])
+    put(c + 13, sd["bbox_head.weight"], sd["bbox_head.bias"])
+    params["head"] = {"kernel": kernel, "bias": bias}
+
+    if predict_acceptance_prob:
+        layers = sorted({int(m.group(1)) for k in sd
+                         for m in [re.fullmatch(
+                             r"acceptance_prob\.layer_(\d+)\.weight", k)]
+                         if m})
+        for li in layers:
+            w = sd[f"acceptance_prob.layer_{li}.weight"]
+            b = sd[f"acceptance_prob.layer_{li}.bias"]
+            name = "accept_out" if li == layers[-1] else f"accept_{li}"
+            params[name] = {"kernel": _conv(w), "bias": np.asarray(b)}
+
+    return {"params": params, "batch_stats": stats}

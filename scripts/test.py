@@ -1,0 +1,149 @@
+"""Evaluate a trained model on KITTI val -- test_rpn_3d.py equivalent.
+
+Usage:
+  python scripts/test.py --config groomed_nms [--restore N] \
+      [--data-root data] [--output output] [--batch 8]
+
+Batched device inference (the reference runs batch 1 with host round
+trips; here images of identical size are grouped into device batches),
+KITTI txt writing, then the parameterized C++ evaluator.
+"""
+
+import argparse
+import logging
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--data-root", default="data")
+    ap.add_argument("--output", default="output")
+    ap.add_argument("--restore", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--split", default="validation")
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from groomed_nms_tpu.anchors import locate_anchors
+    from groomed_nms_tpu.config import load_config
+    from groomed_nms_tpu.data.augment import preprocess_images
+    from groomed_nms_tpu.data.imdb import build_imdb
+    from groomed_nms_tpu.data.pipeline import prepare_anchors
+    from groomed_nms_tpu.eval import evaluate_kitti_results_verbose
+    from groomed_nms_tpu.inference import (decode_detections, nms_and_topk,
+                                           write_kitti_detections)
+    from groomed_nms_tpu.models import RPN3D
+    from groomed_nms_tpu.training import (build_lr_schedule, build_optimizer,
+                                          create_train_state,
+                                          restore_checkpoint)
+
+    cfg = load_config(args.config)
+    batch_size = args.batch or cfg.test_batch_size
+    out_dir = os.path.join(args.output, cfg.name)
+    results_dir = os.path.join(out_dir, "results",
+                               f"results_{args.restore or 'latest'}")
+    os.makedirs(os.path.join(results_dir, "data"), exist_ok=True)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    log = logging.getLogger(__name__)
+
+    root = os.path.join(args.data_root, cfg.dataset_test)
+    imdb = build_imdb(root, args.split, use_3d_for_2d=cfg.use_3d_for_2d,
+                      cache_file=None, im_ext=cfg.im_ext)
+    if args.limit:
+        imdb = imdb[:args.limit]
+    log.info("val imdb: %d images", len(imdb))
+
+    anchors, means, stds = prepare_anchors(cfg, [], cache_dir=out_dir)
+    feat_hw = (cfg.crop_size[0] // cfg.feat_stride,
+               cfg.crop_size[1] // cfg.feat_stride)
+    rois = np.asarray(locate_anchors(anchors, feat_hw, cfg.feat_stride))
+    rois_3d = anchors[rois[:, 4].astype(np.int64), 4:]
+
+    model = RPN3D(cfg.rpn_config(anchors.shape[0]))
+    schedule = build_lr_schedule(cfg.lr, cfg.max_iter)
+    tx = build_optimizer(cfg.solver_type, schedule)
+    state = create_train_state(
+        model, (1, cfg.crop_size[0], cfg.crop_size[1], 3), tx)
+    state = restore_checkpoint(out_dir, state, args.restore,
+                               restore_optimizer=False)
+    log.info("restored iter %d", int(state.step))
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    dcfg = cfg.detect_config()
+    means_img = jnp.asarray(cfg.image_means)
+    stds_img = jnp.asarray(cfg.image_stds)
+    rois_j, rois_3d_j = jnp.asarray(rois), jnp.asarray(rois_3d)
+
+    @jax.jit
+    def infer(images_u8, p2, p2_inv, scale):
+        images = preprocess_images(
+            images_u8, jnp.zeros((images_u8.shape[0],), bool), means_img,
+            stds_img, target_h=cfg.crop_size[0], crop_w=cfg.crop_size[1])
+        out = model.apply(variables, images, train=False)
+        outputs = {"prob": out.prob, "bbox_2d": out.bbox_2d,
+                   "bbox_3d": out.bbox_3d, "accept_prob": out.accept_prob,
+                   "uncertainty": out.uncertainty}
+        dets, scores = decode_detections(
+            outputs, rois_j, rois_3d_j, p2, p2_inv, scale,
+            jnp.asarray(means, jnp.float32), jnp.asarray(stds, jnp.float32),
+            dcfg)
+        return nms_and_topk(dets, scores, dcfg)
+
+    # group same-sized images into device batches (one compile per size)
+    from PIL import Image
+    by_size = defaultdict(list)
+    for rec in imdb:
+        by_size[(rec.im_h, rec.im_w)].append(rec)
+
+    t0 = time.time()
+    n_done = 0
+    for (h0, w0), recs in by_size.items():
+        for i in range(0, len(recs), batch_size):
+            chunk = recs[i:i + batch_size]
+            n = len(chunk)
+            imgs = np.zeros((batch_size, h0, w0, 3), np.uint8)
+            p2 = np.tile(np.eye(4, dtype=np.float32)[None],
+                         (batch_size, 1, 1))
+            for bi, rec in enumerate(chunk):
+                with Image.open(rec.image_path) as im:
+                    imgs[bi] = np.asarray(im.convert("RGB"), np.uint8)
+                p2[bi] = rec.p2
+            scale = np.full((batch_size,), cfg.crop_size[0] / h0, np.float32)
+            dets, valid = infer(jnp.asarray(imgs), jnp.asarray(p2),
+                                jnp.asarray(np.linalg.inv(p2)),
+                                jnp.asarray(scale))
+            dets = np.asarray(dets)
+            valid = np.asarray(valid)
+            for bi, rec in enumerate(chunk):
+                write_kitti_detections(
+                    os.path.join(results_dir, "data", rec.id + ".txt"),
+                    dets[bi], valid[bi], list(cfg.lbls),
+                    score_thres=cfg.score_thres)
+            n_done += n
+            if n_done % 500 < batch_size:
+                dt = (time.time() - t0) / max(n_done, 1)
+                log.info("tested %d/%d, %.1f img/s", n_done, len(imdb),
+                         1.0 / max(dt, 1e-9))
+
+    log.info("inference done: %.1f img/s end-to-end",
+             n_done / (time.time() - t0))
+    gt_dir = os.path.join(root, args.split, "label_2")
+    if os.path.isdir(gt_dir):
+        evaluate_kitti_results_verbose(results_dir, gt_dir,
+                                       fast_eval=cfg.fast_eval,
+                                       log_fn=log.info)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,13 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# the axon TPU plugin (sitecustomize in this image) force-sets
+# jax_platforms="axon,cpu" at interpreter start, overriding the env var;
+# re-pin to cpu after import so the suite really runs on the virtual mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,162 @@
+"""Model forward + master loss: shapes, gradients, semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from groomed_nms_tpu.anchors import generate_anchor_templates, locate_anchors
+from groomed_nms_tpu.losses import LossConfig, UncertaintyState, rpn_3d_loss
+from groomed_nms_tpu.losses.rpn_3d import GTBatch
+from groomed_nms_tpu.models import RPN3D, RPNConfig
+from groomed_nms_tpu.models.densenet import tiny_densenet_config
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    rng = np.random.default_rng(0)
+    cfg = RPNConfig(num_classes=4, num_anchors=6, prop_features=64,
+                    predict_acceptance_prob=True,
+                    backbone=tiny_densenet_config())
+    model = RPN3D(cfg)
+    b, h, w = 2, 64, 128
+    images = jnp.asarray(rng.normal(size=(b, h, w, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images, train=False)
+    out = model.apply(variables, images, train=False)
+    fh, fw = out.feat_hw
+    templates = generate_anchor_templates([16, 32], [0.5, 1.0, 1.5], 16)
+    priors = np.concatenate(
+        [templates, np.abs(rng.normal(size=(6, 7))).astype(np.float32) + 1.0],
+        axis=1)
+    rois = locate_anchors(priors, (fh, fw), 16)
+    rois_3d = jnp.asarray(priors)[rois[:, 4].astype(jnp.int32), 4:]
+    return dict(model=model, cfg=cfg, images=images, variables=variables,
+                out=out, rois=rois, rois_3d=rois_3d, b=b)
+
+
+def _make_batch(b, rng, n_gt=3):
+    g, i = 4, 2
+    gts_2d = np.zeros((b, g, 4), np.float32)
+    gts_3d = np.zeros((b, g, 16), np.float32)
+    gt_valid = np.zeros((b, g), bool)
+    for bi in range(b):
+        for gi in range(n_gt):
+            x1, y1 = rng.uniform(0, 80), rng.uniform(0, 30)
+            w, h = rng.uniform(15, 40), rng.uniform(15, 30)
+            gts_2d[bi, gi] = [x1, y1, x1 + w, y1 + h]
+            gts_3d[bi, gi] = [x1 + w / 2, y1 + h / 2, 30.0, 1.6, 1.5, 3.9,
+                              0.2, 1.0, 1.5, 30.0, 0.3, 0.1, 0.2, -0.9, 0, 0]
+            gt_valid[bi, gi] = True
+    p2 = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+    p2[:, 0, 0] = 700.0
+    p2[:, 1, 1] = 700.0
+    return GTBatch(jnp.asarray(gts_2d), jnp.asarray(gts_3d),
+                   jnp.ones((b, g)), jnp.asarray(gt_valid),
+                   jnp.zeros((b, i, 4)), jnp.zeros((b, i), bool),
+                   jnp.asarray(p2), jnp.ones((b,)))
+
+
+def test_forward_shapes(tiny_setup):
+    out = tiny_setup["out"]
+    b = tiny_setup["b"]
+    fh, fw = out.feat_hw
+    r = fh * fw * 6
+    assert out.cls.shape == (b, r, 4)
+    assert out.prob.shape == (b, r, 4)
+    assert out.bbox_2d.shape == (b, r, 4)
+    assert out.bbox_3d.shape == (b, r, 10)
+    assert out.accept_prob.shape == (b, r)
+    # probabilities normalised; axis/head/accept in (0, 1)
+    np.testing.assert_allclose(np.asarray(out.prob.sum(-1)), 1.0, atol=1e-5)
+    assert float(out.bbox_3d[..., 8:].min()) >= 0.0
+    assert float(out.bbox_3d[..., 8:].max()) <= 1.0
+    assert float(out.accept_prob.min()) >= 0.0
+
+
+def test_uncertainty_variant_shapes():
+    cfg = RPNConfig(num_classes=4, num_anchors=4, prop_features=32,
+                    predict_uncertainty=True,
+                    backbone=tiny_densenet_config())
+    model = RPN3D(cfg)
+    images = jnp.zeros((1, 32, 64, 3))
+    variables = model.init(jax.random.PRNGKey(1), images, train=False)
+    out = model.apply(variables, images, train=False)
+    assert out.uncertainty is not None
+    assert out.uncertainty.shape == out.cls.shape[:2]
+    assert float(out.uncertainty.min()) >= 0.0
+
+
+def _loss_for(tiny_setup, lcfg, batch=None):
+    out = tiny_setup["out"]
+    rng = np.random.default_rng(1)
+    if batch is None:
+        batch = _make_batch(tiny_setup["b"], rng)
+    outputs = {"cls": out.cls, "prob": out.prob, "bbox_2d": out.bbox_2d,
+               "bbox_3d": out.bbox_3d, "accept_prob": out.accept_prob}
+    return rpn_3d_loss(outputs, tiny_setup["rois"], tiny_setup["rois_3d"],
+                       batch, jnp.zeros(13), jnp.ones(13),
+                       UncertaintyState.init(), lcfg)
+
+
+def test_loss_shipped_config_finite(tiny_setup):
+    lcfg = LossConfig(use_nms_in_loss=True, predict_acceptance_prob=True,
+                      use_acceptance_prob_in_regression_loss=True,
+                      weigh_acceptance_prob_regularization=True,
+                      bbox_un_dynamic=True, max_nms_boxes=64, max_ap_boxes=128)
+    loss, stats, new_state = _loss_for(tiny_setup, lcfg)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert int(new_state.n) == 1 and float(new_state.lam) > 0
+    for k, v in stats.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_loss_warmup_config_finite(tiny_setup):
+    # warmup stage: no NMS in loss, no acceptance prob
+    lcfg = LossConfig(bbox_2d_lambda=1.0)
+    loss, stats, _ = _loss_for(tiny_setup, lcfg)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert "after_nms" not in stats
+    assert "bbox_2d" in stats
+
+
+def test_loss_background_only_batch(tiny_setup):
+    rng = np.random.default_rng(2)
+    batch = _make_batch(tiny_setup["b"], rng, n_gt=0)
+    lcfg = LossConfig(use_nms_in_loss=True, predict_acceptance_prob=True,
+                      max_nms_boxes=64, max_ap_boxes=128)
+    loss, stats, _ = _loss_for(tiny_setup, lcfg, batch)
+    assert np.isfinite(float(loss))
+    assert float(stats["fg_num"]) == 0
+
+
+def test_loss_gradients_flow_through_nms(tiny_setup):
+    """Gradient must reach the acceptance-prob head via the NMS rank loss."""
+    model, variables = tiny_setup["model"], tiny_setup["variables"]
+    images = tiny_setup["images"]
+    batch = _make_batch(tiny_setup["b"], np.random.default_rng(1))
+    # isolate the after-NMS loss path; beta=-10 forces a positive AP target
+    # per GT even at random init (real runs use 0.3, but random weights put
+    # every predicted cuboid far from the GT so no target would survive)
+    lcfg = LossConfig(use_nms_in_loss=True, predict_acceptance_prob=True,
+                      cls_2d_lambda=0.0, iou_2d_lambda=0.0,
+                      bbox_3d_lambda=0.0, after_nms_lambda=1.0,
+                      best_target_box_beta=-10.0,
+                      max_nms_boxes=64, max_ap_boxes=128)
+
+    def loss_fn(params):
+        o = model.apply({"params": params,
+                         "batch_stats": variables["batch_stats"]},
+                        images, train=False)
+        outputs = {"cls": o.cls, "prob": o.prob, "bbox_2d": o.bbox_2d,
+                   "bbox_3d": o.bbox_3d, "accept_prob": o.accept_prob}
+        l, _, _ = rpn_3d_loss(outputs, tiny_setup["rois"],
+                              tiny_setup["rois_3d"], batch, jnp.zeros(13),
+                              jnp.ones(13), UncertaintyState.init(), lcfg)
+        return l
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    accept_grad = sum(float(jnp.abs(g).sum())
+                      for g in jax.tree_util.tree_leaves(
+                          grads["accept_out"]))
+    assert np.isfinite(accept_grad)
+    assert accept_grad > 0, "after-NMS rank loss must train the accept head"

@@ -1,0 +1,157 @@
+"""End-to-end data pipeline on a synthetic mini-KITTI tree."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from groomed_nms_tpu.config import ExperimentConfig, load_config
+from groomed_nms_tpu.data.augment import preprocess_images
+from groomed_nms_tpu.data.imdb import build_imdb
+from groomed_nms_tpu.data.pipeline import TrainLoader, prepare_anchors
+
+
+CAL = ("P2: 707.0 0.0 604.0 45.75 0.0 707.0 180.5 -0.34 "
+       "0.0 0.0 1.0 0.005\n")
+
+
+def _make_kitti_tree(root, n_images=4, im_h=96, im_w=320):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    for split in ("training",):
+        for sub in ("image_2", "calib", "label_2"):
+            os.makedirs(os.path.join(root, split, sub), exist_ok=True)
+        for i in range(n_images):
+            iid = f"{i:06d}"
+            img = rng.integers(0, 255, (im_h, im_w, 3), np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(root, split, "image_2", iid + ".png"))
+            with open(os.path.join(root, split, "calib", iid + ".txt"),
+                      "w") as f:
+                f.write(CAL)
+            lines = []
+            for _ in range(3):
+                x1, y1 = rng.uniform(0, im_w - 60), rng.uniform(20, im_h - 40)
+                w, h = rng.uniform(30, 60), rng.uniform(25, 40)
+                x, z = rng.uniform(-10, 10), rng.uniform(10, 40)
+                ry = rng.uniform(-np.pi, np.pi)
+                alpha = ry - np.arctan2(x, z)
+                lines.append(
+                    f"Car 0.0 0 {alpha:.2f} {x1:.2f} {y1:.2f} "
+                    f"{x1 + w:.2f} {y1 + h:.2f} 1.5 1.6 3.9 "
+                    f"{x:.2f} 1.65 {z:.2f} {ry:.2f}")
+            with open(os.path.join(root, split, "label_2", iid + ".txt"),
+                      "w") as f:
+                f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def mini_kitti(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti") / "kitti_split1")
+    _make_kitti_tree(root)
+    return root
+
+
+def _tiny_cfg():
+    return ExperimentConfig(
+        backbone_tiny=True, batch_size=2, crop_size=(96, 320), test_scale=96,
+        max_gts=16, max_igns=8, max_nms_boxes=32, max_ap_boxes=64,
+        anchor_scales_count=4, min_gt_vis=0.0)
+
+
+def test_build_imdb_and_cache(mini_kitti, tmp_path):
+    cache = str(tmp_path / "imdb.pkl")
+    imdb = build_imdb(mini_kitti, "training", cache_file=cache)
+    assert len(imdb) == 4
+    assert os.path.exists(cache)
+    imdb2 = build_imdb(mini_kitti, "training", cache_file=cache)
+    assert len(imdb2) == 4
+    rec = imdb[0]
+    assert rec.p2.shape == (4, 4)
+    assert len(rec.gts["cls"]) == 3
+    assert rec.im_h == 96 and rec.im_w == 320
+
+
+def test_prepare_anchors(mini_kitti, tmp_path):
+    cfg = _tiny_cfg()
+    imdb = build_imdb(mini_kitti, "training")
+    anchors, means, stds = prepare_anchors(cfg, imdb,
+                                           cache_dir=str(tmp_path))
+    # unused anchors pruned; survivors carry learned 3D priors
+    assert 1 <= anchors.shape[0] <= 12
+    assert anchors.shape[1] == 11     # 4 box + z w h l rot sin cos
+    assert (anchors[:, 4] > 0).all()  # depth priors positive
+    assert means.shape == (13,) and stds.shape == (13,)
+    assert (stds > 0).all()
+    # cached round trip
+    a2, m2, s2 = prepare_anchors(cfg, imdb, cache_dir=str(tmp_path))
+    np.testing.assert_allclose(a2, anchors)
+
+
+def test_train_loader_batches(mini_kitti):
+    cfg = _tiny_cfg()
+    imdb = build_imdb(mini_kitti, "training")
+    loader = TrainLoader(imdb, cfg, seed=0, prefetch=1)
+    batch = next(loader)
+    assert batch["images_u8"].shape == (2, 96, 320, 3)
+    gt = batch["gt"]
+    assert gt.gts_2d.shape == (2, 16, 4)
+    assert gt.gt_valid.sum() > 0
+    assert gt.p2.shape == (2, 4, 4)
+
+
+def test_preprocess_images_device():
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 96, 320, 3), np.uint8)
+    out = preprocess_images(
+        jnp.asarray(imgs), jnp.asarray([False, True]),
+        jnp.asarray([0.485, 0.456, 0.406]), jnp.asarray([0.229, 0.224, 0.225]),
+        target_h=64, crop_w=256)
+    out = np.asarray(out)
+    assert out.shape == (2, 64, 256, 3)
+    assert np.isfinite(out).all()
+    # mirrored image: re-running with mirror flipped on input equals flip
+    out2 = preprocess_images(
+        jnp.asarray(imgs[:, :, ::-1]), jnp.asarray([False, False]),
+        jnp.asarray([0.485, 0.456, 0.406]), jnp.asarray([0.229, 0.224, 0.225]),
+        target_h=64, crop_w=256)
+    np.testing.assert_allclose(out[1], np.asarray(out2)[1], atol=1e-5)
+    # crop_w wider than the scaled width -> zero padding on the right
+    out3 = np.asarray(preprocess_images(
+        jnp.asarray(imgs), jnp.asarray([False, False]),
+        jnp.zeros(3), jnp.ones(3), target_h=64, crop_w=400))
+    assert out3.shape[2] == 400
+    np.testing.assert_allclose(out3[:, :, 214:], 0.0, atol=1e-6)
+
+
+def test_config_modules_load():
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for name in ("groomed_nms", "kitti_3d_warmup", "self_balancing",
+                 "kitti_3d_uncertainty"):
+        cfg = load_config(name)
+        assert cfg.name == name
+        lc = cfg.loss_config()
+        dc = cfg.detect_config()
+        rc = cfg.rpn_config(36)
+    # shipped groomed config flips the right knobs
+    g = load_config("groomed_nms")
+    assert g.use_nms_in_loss and g.predict_acceptance_prob
+    w = load_config("kitti_3d_warmup")
+    assert not w.use_nms_in_loss and w.max_iter == 80000
+    # ablations flip exactly one knob each
+    from configs.ablations import ALL
+    base = g
+    for key, fn in ALL.items():
+        cfg = fn()
+        assert cfg.name != base.name
+
+
+def test_anchor_scales_formula():
+    cfg = ExperimentConfig()
+    scales = cfg.anchor_scales
+    assert len(scales) == 12
+    np.testing.assert_allclose(scales[0], 512 * 0.0625)
+    np.testing.assert_allclose(scales[-1], 512 * 0.75)

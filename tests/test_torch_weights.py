@@ -1,0 +1,142 @@
+"""Torch-checkpoint converter: wiring + loadability into the Flax model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from groomed_nms_tpu.models import RPN3D, RPNConfig
+from groomed_nms_tpu.models.densenet import DenseNetConfig
+from groomed_nms_tpu.utils.torch_weights import (convert_backbone,
+                                                 convert_rpn_checkpoint)
+
+
+def _fake_torch_densenet(rng, growth=8, blocks=(2, 2), stem=16):
+    """Minimal torchvision-features-style state dict (numpy values)."""
+    sd = {}
+    sd["conv0.weight"] = rng.normal(size=(stem, 3, 7, 7)).astype(np.float32)
+    ch = stem
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = rng.normal(size=(c,)).astype(np.float32)
+        sd[prefix + ".bias"] = rng.normal(size=(c,)).astype(np.float32)
+        sd[prefix + ".running_mean"] = rng.normal(size=(c,)).astype(np.float32)
+        sd[prefix + ".running_var"] = np.abs(
+            rng.normal(size=(c,))).astype(np.float32) + 0.5
+
+    bn("norm0", stem)
+    for bi, n_layers in enumerate(blocks, start=1):
+        for li in range(1, n_layers + 1):
+            base = f"denseblock{bi}.denselayer{li}"
+            bn(base + ".norm1", ch)
+            sd[base + ".conv1.weight"] = rng.normal(
+                size=(4 * growth, ch, 1, 1)).astype(np.float32)
+            bn(base + ".norm2", 4 * growth)
+            sd[base + ".conv2.weight"] = rng.normal(
+                size=(growth, 4 * growth, 3, 3)).astype(np.float32)
+            ch += growth
+        if bi < len(blocks):
+            bn(f"transition{bi}.norm", ch)
+            sd[f"transition{bi}.conv.weight"] = rng.normal(
+                size=(ch // 2, ch, 1, 1)).astype(np.float32)
+            ch //= 2
+    bn("norm5", ch)
+    return sd, ch
+
+
+def test_convert_backbone_structure():
+    rng = np.random.default_rng(0)
+    sd, out_ch = _fake_torch_densenet(rng)
+    params, stats = convert_backbone(sd)
+    assert params["conv0"]["kernel"].shape == (7, 7, 3, 16)
+    assert "denseblock1_layer1" in params
+    assert params["denseblock1_layer1"]["conv2"]["kernel"].shape[-1] == 8
+    assert stats["norm5"]["var"].shape == (out_ch,)
+    # conv transpose check: OIHW -> HWIO round trips
+    w = sd["conv0.weight"]
+    np.testing.assert_allclose(params["conv0"]["kernel"][3, 2, 1, 5],
+                               w[5, 1, 3, 2])
+
+
+def test_convert_rpn_head_channel_wiring():
+    """Each ref head conv lands in its fused-channel slot per anchor."""
+    rng = np.random.default_rng(1)
+    a, c, in_ch = 3, 4, 8
+    sd, bb_ch = _fake_torch_densenet(rng)
+    sd = {"base." + k: v for k, v in sd.items()}
+    sd["prop_feats.0.weight"] = rng.normal(
+        size=(in_ch, bb_ch, 3, 3)).astype(np.float32)
+    sd["prop_feats.0.bias"] = rng.normal(size=(in_ch,)).astype(np.float32)
+
+    def head(n_out, tag):
+        # weight[o, i] = 1000*tag + o for traceability
+        w = np.zeros((n_out, in_ch, 1, 1), np.float32)
+        for o in range(n_out):
+            w[o, :, 0, 0] = 1000 * tag + o
+        return w, np.arange(n_out, dtype=np.float32) + 1000 * tag
+
+    fields = ["cls", "bbox_x", "bbox_y", "bbox_w", "bbox_h", "bbox_x3d",
+              "bbox_y3d", "bbox_z3d", "bbox_w3d", "bbox_h3d", "bbox_l3d",
+              "bbox_alpha", "bbox_axis", "bbox_head"]
+    for ti, f in enumerate(fields):
+        n_out = c * a if f == "cls" else a
+        sd[f + ".weight"], sd[f + ".bias"] = head(n_out, ti + 1)
+
+    variables = convert_rpn_checkpoint(sd, num_classes=c, num_anchors=a)
+    kernel = variables["params"]["head"]["kernel"][0, 0]   # [in, A*per]
+    bias = variables["params"]["head"]["bias"]
+    per = c + 4 + 10
+    for ai in range(a):
+        # cls channels: ref channel class*A + anchor
+        for ci in range(c):
+            np.testing.assert_allclose(kernel[0, ai * per + ci],
+                                       1000 * 1 + ci * a + ai)
+        # 2D fields
+        for fi in range(4):
+            np.testing.assert_allclose(kernel[0, ai * per + c + fi],
+                                       1000 * (2 + fi) + ai)
+        # rsin == rcos == bbox_alpha
+        np.testing.assert_allclose(kernel[0, ai * per + c + 10],
+                                   1000 * 12 + ai)
+        np.testing.assert_allclose(kernel[0, ai * per + c + 11],
+                                   1000 * 12 + ai)
+        np.testing.assert_allclose(bias[ai * per + c + 12],
+                                   1000 * 13 + ai)
+
+
+def test_converted_checkpoint_loads_and_runs():
+    rng = np.random.default_rng(2)
+    a, c = 3, 4
+    sd, bb_ch = _fake_torch_densenet(rng)
+    sd = {"base." + k: v for k, v in sd.items()}
+    prop = 8
+    sd["prop_feats.0.weight"] = rng.normal(
+        size=(prop, bb_ch, 3, 3)).astype(np.float32)
+    sd["prop_feats.0.bias"] = rng.normal(size=(prop,)).astype(np.float32)
+    for f in ["bbox_x", "bbox_y", "bbox_w", "bbox_h", "bbox_x3d", "bbox_y3d",
+              "bbox_z3d", "bbox_w3d", "bbox_h3d", "bbox_l3d", "bbox_alpha",
+              "bbox_axis", "bbox_head"]:
+        sd[f + ".weight"] = rng.normal(size=(a, prop, 1, 1)).astype(np.float32)
+        sd[f + ".bias"] = rng.normal(size=(a,)).astype(np.float32)
+    sd["cls.weight"] = rng.normal(size=(c * a, prop, 1, 1)).astype(np.float32)
+    sd["cls.bias"] = rng.normal(size=(c * a,)).astype(np.float32)
+
+    variables = convert_rpn_checkpoint(sd, num_classes=c, num_anchors=a)
+    cfg = RPNConfig(
+        num_classes=c, num_anchors=a, prop_features=prop,
+        backbone=DenseNetConfig(growth_rate=8, block_layers=(2, 2),
+                                stem_features=16, block_dilations=(1, 2),
+                                transition_pool=(True,)))
+    model = RPN3D(cfg)
+    images = jnp.asarray(rng.normal(size=(1, 32, 64, 3)), jnp.float32)
+    # structural compatibility: converted trees must match the model's own
+    ref = model.init(jax.random.PRNGKey(0), images, train=False)
+    ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, ref["params"])
+    got_shapes = jax.tree_util.tree_map(lambda x: np.asarray(x).shape,
+                                        variables["params"])
+    assert ref_shapes == got_shapes
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, images, train=False)
+    assert np.isfinite(np.asarray(out.cls)).all()
+    assert np.isfinite(np.asarray(out.bbox_3d)).all()
