@@ -179,19 +179,13 @@ def nms_and_topk(dets, scores, cfg: DetectConfig):
                 group_size=cfg.diff_nms_group_size)
             keep_score = jnp.where(res.keep, vals, -1.0)
         else:
-            # greedy suppression sweep over the score-sorted prefix; rows are
-            # already sorted so the sweep is a fori_loop of O(N) VPU ops
+            # exact greedy NMS via the tiled parallel-suppression kernel
             # (replaces the reference's CUDA bitmask kernel + host sweep,
-            # lib/nms/nms_kernel.cu:24-144)
-            iou_mat = pairwise_iou(d[:, :4], d[:, :4], shift=1.0)
-            n = d.shape[0]
-
-            def body(i, alive):
-                suppress = alive[i] & (iou_mat[i] > cfg.nms_thres) & \
-                    (jnp.arange(n) > i)
-                return alive & ~suppress
-
-            alive = jax.lax.fori_loop(0, n, body, vals > 0)
+            # lib/nms/nms_kernel.cu:24-144); rows are already score-sorted
+            from .ops.nms import greedy_nms_blocked
+            alive = greedy_nms_blocked(d[:, :4], vals, valid_mask=vals > 0,
+                                       nms_threshold=cfg.nms_thres,
+                                       shift=1.0)
             keep_score = jnp.where(alive, vals, -1.0)
 
         k_post = min(cfg.nms_topN_post, keep_score.shape[0])

@@ -90,7 +90,7 @@ class RPN3D(nn.Module):
     config: RPNConfig = field(default_factory=RPNConfig)
 
     @nn.compact
-    def __call__(self, images, train: bool = False) -> RPNOutputs:
+    def __call__(self, images, train: bool = False, return_base: bool = False):
         cfg = self.config
         a, c = cfg.num_anchors, cfg.num_classes
 
@@ -140,7 +140,12 @@ class RPN3D(nn.Module):
             else:
                 accept_prob = nn.sigmoid(ap[..., 0])
 
-        return RPNOutputs(cls=cls, prob=prob, bbox_2d=bbox_2d,
-                          bbox_3d=bbox_3d, feat_hw=(fh, fw),
-                          accept_prob=accept_prob, accept_cls=accept_cls,
-                          uncertainty=uncertainty)
+        outputs = RPNOutputs(cls=cls, prob=prob, bbox_2d=bbox_2d,
+                             bbox_3d=bbox_3d, feat_hw=(fh, fw),
+                             accept_prob=accept_prob, accept_cls=accept_cls,
+                             uncertainty=uncertainty)
+        if return_base:
+            # trunk features for the video model's pose head (the
+            # reference's return_base flag, models/...alpha.py:1082)
+            return outputs, feats
+        return outputs

@@ -1,1 +1,1 @@
-from . import boxes, geometry, iou, groomed_nms, nms  # noqa: F401
+from . import boxes, geometry, iou, groomed_nms, nms, refine, roi_align  # noqa: F401

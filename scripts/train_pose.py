@@ -1,0 +1,135 @@
+"""Train the ego-pose branch of the video model (reference train_pose.py).
+
+Freezes the detection trunk/heads and optimises only the pose network with
+the L1 pose loss, using consecutive-frame pairs from the tracking imdb.
+
+Usage:
+  python scripts/train_pose.py --config kitti_3d_full [--data-root data] \
+      [--output output] [--max-iter N]
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
+def compute_pose_stats(imdb):
+    """Mean/std of ego_10 pose targets (reference lib/imdb_util.py:940-1001)."""
+    import numpy as np
+    rows = [rec.egos["10"] for rec in imdb if "10" in rec.egos]
+    if not rows:
+        return np.zeros(6), np.ones(6)
+    arr = np.asarray(rows, np.float64)
+    return arr.mean(0), np.maximum(arr.std(0), 1e-8)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--data-root", default="data")
+    ap.add_argument("--output", default="output")
+    ap.add_argument("--max-iter", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from PIL import Image
+
+    from groomed_nms_tpu.config import load_config
+    from groomed_nms_tpu.data.augment import preprocess_images
+    from groomed_nms_tpu.data.tracking import build_tracking_imdb
+    from groomed_nms_tpu.losses.pose import pose_loss
+    from groomed_nms_tpu.models.video import VideoConfig, VideoRPN3D
+    from groomed_nms_tpu.training import StatTracker, build_lr_schedule
+
+    cfg = load_config(args.config)
+    if args.max_iter:
+        cfg = cfg.replace(max_iter=args.max_iter)
+    out_dir = os.path.join(args.output, cfg.name + "_pose")
+    os.makedirs(out_dir, exist_ok=True)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    log = logging.getLogger(__name__)
+
+    root = os.path.join(args.data_root, cfg.dataset_train)
+    imdb = build_tracking_imdb(root, "training",
+                               cache_file=os.path.join(out_dir, "imdb.pkl"))
+    imdb = [r for r in imdb if "10" in r.egos]
+    log.info("tracking imdb with poses: %d", len(imdb))
+    pose_means, pose_stds = compute_pose_stats(imdb)
+    np.savez(os.path.join(out_dir, "pose_stats.npz"), means=pose_means,
+             stds=pose_stds)
+
+    vcfg = VideoConfig(rpn=cfg.rpn_config(36))
+    model = VideoRPN3D(vcfg)
+    rng = jax.random.PRNGKey(cfg.rng_seed)
+    dummy = jnp.zeros((1, 2, cfg.crop_size[0], cfg.crop_size[1], 3))
+    variables = model.init(rng, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    # optimise ONLY the pose branch (trunk frozen, reference train_pose.py)
+    label_fn = lambda p: jax.tree_util.tree_map_with_path(
+        lambda path, _: "train" if "pose_net" in str(path[0]) else "freeze", p)
+    tx = optax.multi_transform(
+        {"train": optax.sgd(build_lr_schedule(cfg.lr, cfg.max_iter),
+                            momentum=cfg.momentum),
+         "freeze": optax.set_to_zero()},
+        label_fn)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, images, pose_tar):
+        def loss_fn(p):
+            out = model.apply({"params": p, "batch_stats": batch_stats},
+                              images, train=False)
+            pred = out.poses[:, 0]
+            l, stats = pose_loss(pred, pose_tar, pose_means, pose_stds)
+            return l, stats
+
+        (l, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l, stats
+
+    rs = np.random.default_rng(cfg.rng_seed)
+    tracker = StatTracker(cfg.max_iter, cfg.display)
+    means_img = jnp.asarray(cfg.image_means)
+    stds_img = jnp.asarray(cfg.image_stds)
+    for it in range(cfg.max_iter):
+        idx = rs.integers(0, len(imdb), size=cfg.batch_size)
+        imgs, targets = [], []
+        for i in idx:
+            rec = imdb[i]
+            frames = []
+            for path in rec.image_paths[1::-1]:   # prev1, cur
+                with Image.open(path) as im:
+                    frames.append(np.asarray(im.convert("RGB"), np.uint8))
+            imgs.append(np.stack(frames))
+            ego = np.asarray(rec.egos["10"])
+            targets.append((ego - pose_means) / pose_stds)
+        imgs = np.stack(imgs)                    # [B, 2, H0, W0, 3]
+        b, f, h0, w0, _ = imgs.shape
+        flat = preprocess_images(
+            jnp.asarray(imgs.reshape(b * f, h0, w0, 3)),
+            jnp.zeros((b * f,), bool), means_img, stds_img,
+            target_h=cfg.crop_size[0], crop_w=cfg.crop_size[1])
+        images = flat.reshape(b, f, cfg.crop_size[0], cfg.crop_size[1], 3)
+        params, opt_state, l, stats = step(
+            params, opt_state, images, jnp.asarray(np.stack(targets)))
+        tracker.update({k: float(v) for k, v in stats.items()})
+        if (it + 1) % cfg.display == 0:
+            log.info(tracker.log_line(it + 1))
+            tracker.reset()
+
+    np.savez(os.path.join(out_dir, "pose_params_done.npz"))
+    log.info("pose training done")
+
+
+if __name__ == "__main__":
+    main()

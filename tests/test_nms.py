@@ -86,3 +86,55 @@ def test_top_k_after_nms():
     np.testing.assert_allclose(out[:, 4], [0.9, 0.8])
     out2 = top_k_after_nms(dets, keep, top_n=3, score_threshold=0.5)
     np.testing.assert_allclose(out2[:, 4], [0.9, 0.8])
+
+
+def test_blocked_nms_matches_sweep_and_oracle(rng):
+    """greedy_nms_blocked must agree exactly with the sequential sweep and
+    the numpy oracle, across tile boundaries and padding."""
+    import jax.numpy as jnp
+    from groomed_nms_tpu.ops.nms import (greedy_nms, greedy_nms_blocked,
+                                         greedy_nms_numpy)
+
+    for n, tile in [(50, 16), (300, 64), (513, 128)]:
+        x1 = rng.uniform(0, 800, n)
+        y1 = rng.uniform(0, 400, n)
+        w = rng.uniform(20, 200, n)
+        h = rng.uniform(20, 150, n)
+        boxes = np.stack([x1, y1, x1 + w, y1 + h], axis=1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        valid = rng.uniform(0, 1, n) > 0.1
+
+        keep_seq = np.asarray(greedy_nms(jnp.asarray(boxes),
+                                         jnp.asarray(scores),
+                                         jnp.asarray(valid),
+                                         nms_threshold=0.4))
+        keep_blk = np.asarray(greedy_nms_blocked(jnp.asarray(boxes),
+                                                 jnp.asarray(scores),
+                                                 jnp.asarray(valid),
+                                                 nms_threshold=0.4,
+                                                 tile=tile))
+        np.testing.assert_array_equal(keep_blk, keep_seq), (n, tile)
+
+        dets = np.hstack([boxes[valid], scores[valid, None]])
+        oracle = greedy_nms_numpy(dets, 0.4)
+        idx_valid = np.flatnonzero(valid)
+        np.testing.assert_array_equal(sorted(idx_valid[oracle]),
+                                      np.flatnonzero(keep_blk))
+
+
+def test_blocked_nms_suppression_chain(rng):
+    """Chain case: 0 suppresses 1, 1 would suppress 2 -> 2 must survive."""
+    import jax.numpy as jnp
+    from groomed_nms_tpu.ops.nms import greedy_nms_blocked
+
+    boxes = np.array([
+        [0, 0, 100, 100],
+        [40, 0, 140, 100],    # overlaps box 0 heavily
+        [80, 0, 180, 100],    # overlaps box 1 heavily, box 0 barely
+        [300, 0, 400, 100],
+    ], np.float32)
+    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    keep = np.asarray(greedy_nms_blocked(jnp.asarray(boxes),
+                                         jnp.asarray(scores),
+                                         nms_threshold=0.4, tile=2))
+    np.testing.assert_array_equal(keep, [True, False, True, True])
