@@ -263,3 +263,50 @@ def compute_bbox_stats(per_image_transforms_iter, n_targets):
     means = s / total
     var = np.maximum(sq / total - means ** 2, 1e-12)
     return means[None, :], np.sqrt(var)[None, :]
+
+
+def cluster_anchors(gt_boxes_wh, n_anchors, iters=50, seed=0):
+    """K-means-by-IoU anchor clustering (host-side, optional).
+
+    Capability match for the reference's ``cluster_anchors``
+    (lib/rpn_util.py:238-408, disabled in every shipped config via
+    ``cluster_anchors=0``): cluster GT (w, h) pairs by 1 - IoU of
+    zero-centered boxes and return the cluster medians as anchor sizes.
+
+    Args:
+      gt_boxes_wh: [G, 2] ground-truth widths/heights.
+      n_anchors: number of clusters.
+
+    Returns [n_anchors, 2] anchor (w, h), sorted by area.
+    """
+    rng = np.random.default_rng(seed)
+    wh = np.asarray(gt_boxes_wh, np.float64)
+    g = wh.shape[0]
+    if g == 0:
+        return np.ones((n_anchors, 2))
+    centers = wh[rng.choice(g, size=min(n_anchors, g), replace=False)]
+    if centers.shape[0] < n_anchors:
+        centers = np.concatenate(
+            [centers, centers[rng.choice(centers.shape[0],
+                                         n_anchors - centers.shape[0])]], 0)
+
+    def iou_wh(a, b):
+        inter = np.minimum(a[:, None, 0], b[None, :, 0]) * \
+            np.minimum(a[:, None, 1], b[None, :, 1])
+        union = a[:, None, 0] * a[:, None, 1] + \
+            b[None, :, 0] * b[None, :, 1] - inter
+        return inter / np.maximum(union, 1e-12)
+
+    assign = None
+    for _ in range(iters):
+        d = 1.0 - iou_wh(wh, centers)
+        new_assign = d.argmin(axis=1)
+        if assign is not None and (new_assign == assign).all():
+            break
+        assign = new_assign
+        for k in range(n_anchors):
+            members = wh[assign == k]
+            if members.shape[0]:
+                centers[k] = np.median(members, axis=0)
+    order = np.argsort(centers[:, 0] * centers[:, 1])
+    return centers[order]

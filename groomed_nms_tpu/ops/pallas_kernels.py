@@ -1,0 +1,122 @@
+"""Pallas TPU kernels for the detection hot path.
+
+``fused_iou_prune`` computes, in a single tiled pass over VMEM:
+  * the full pairwise IoU matrix of N (score-sorted) boxes, and
+  * the GrooMeD-NMS prune matrix P = pruning(iou) masked strictly lower
+    triangular with a zeroed diagonal (reference lib/groomed_nms.py:71-75),
+    with padded boxes zeroed.
+
+Fusing both outputs halves HBM traffic versus computing IoU then re-reading
+it for the prune transform, and the [TILE, TILE] blocks stay in VMEM.  Box
+coordinates are fed as a [4, N] array so the N axis lands on the 128-wide
+lane dimension.
+
+Use ``interpret=True`` on CPU (tests); the jitted wrapper picks the real
+kernel on TPU automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE = 256
+
+
+def _make_kernel(n_pad, nms_threshold, temperature, pruning_method, shift):
+    def kernel(rows_ref, cols_ref, iou_ref, prune_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        # a-boxes: [4, TILE] -> column vectors [TILE, 1]
+        ax1 = rows_ref[0, :].reshape(_TILE, 1)
+        ay1 = rows_ref[1, :].reshape(_TILE, 1)
+        ax2 = rows_ref[2, :].reshape(_TILE, 1)
+        ay2 = rows_ref[3, :].reshape(_TILE, 1)
+        # b-boxes: row vectors [1, TILE]
+        bx1 = cols_ref[0, :].reshape(1, _TILE)
+        by1 = cols_ref[1, :].reshape(1, _TILE)
+        bx2 = cols_ref[2, :].reshape(1, _TILE)
+        by2 = cols_ref[3, :].reshape(1, _TILE)
+
+        iw = jnp.maximum(
+            jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1) + shift, 0.0)
+        ih = jnp.maximum(
+            jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1) + shift, 0.0)
+        inter = iw * ih
+        area_a = (ax2 - ax1 + shift) * (ay2 - ay1 + shift)
+        area_b = (bx2 - bx1 + shift) * (by2 - by1 + shift)
+        union = jnp.maximum(area_a + area_b - inter, 1e-12)
+        iou = inter / union
+        iou_ref[:, :] = iou
+
+        if pruning_method == "linear":
+            p = iou
+        elif pruning_method == "sigmoidal":
+            p = jax.nn.sigmoid((iou - nms_threshold) / temperature)
+        elif pruning_method == "soft_nms":
+            p = 1.0 - jnp.exp(-(iou * iou) / temperature)
+        else:
+            raise NotImplementedError(pruning_method)
+
+        row_ids = i * _TILE + jax.lax.broadcasted_iota(
+            jnp.int32, (_TILE, _TILE), 0)
+        col_ids = j * _TILE + jax.lax.broadcasted_iota(
+            jnp.int32, (_TILE, _TILE), 1)
+        # strictly lower triangular: only earlier (higher-scored) boxes prune
+        prune_ref[:, :] = jnp.where(col_ids < row_ids, p, 0.0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nms_threshold", "temperature", "pruning_method",
+                     "shift", "interpret"))
+def fused_iou_prune(boxes, valid_mask=None, *, nms_threshold=0.4,
+                    temperature=0.1, pruning_method="linear", shift=0.0,
+                    interpret=False):
+    """boxes [N, 4] (score-sorted) -> (iou [N, N], prune [N, N]).
+
+    ``valid_mask`` zeroes padded rows/cols of both outputs.
+    """
+    n = boxes.shape[0]
+    n_pad = -(-n // _TILE) * _TILE
+    coords = jnp.pad(boxes.astype(jnp.float32).T, ((0, 0), (0, n_pad - n)))
+
+    grid = (n_pad // _TILE, n_pad // _TILE)
+    kernel = _make_kernel(n_pad, nms_threshold, temperature, pruning_method,
+                          shift)
+    iou, prune = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, _TILE), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, _TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(coords, coords)
+
+    iou = iou[:n, :n]
+    prune = prune[:n, :n]
+    if valid_mask is not None:
+        vv = valid_mask[:, None] & valid_mask[None, :]
+        iou = jnp.where(vv, iou, 0.0)
+        prune = jnp.where(vv, prune, 0.0)
+    return iou, prune

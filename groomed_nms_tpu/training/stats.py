@@ -48,3 +48,40 @@ class StatTracker:
         parts.append(f"dt: {dt:.3f}")
         parts.append(f"eta: {eta}")
         return ", ".join(parts)
+
+
+def param_summary(params, grads=None):
+    """Per-parameter mean/abs-mean (+grad abs-mean) lines.
+
+    Capability match for the reference's print_weights debugger
+    (lib/core.py:981-1001); the GC tensor-leak walker (check_tensors,
+    lib/core.py:912-922) has no JAX analog -- buffers are managed by XLA --
+    so live-buffer stats come from jax.live_arrays().
+    """
+    import jax
+    import jax.numpy as jnp
+
+    lines = []
+
+    def visit(path, p, g):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        line = f"{name}: shape={tuple(p.shape)} mean={float(jnp.mean(p)):+.5f}"
+        if g is not None:
+            line += f" |grad|={float(jnp.mean(jnp.abs(g))):.6f}"
+        lines.append(line)
+
+    if grads is None:
+        jax.tree_util.tree_map_with_path(lambda pa, p: visit(pa, p, None),
+                                         params)
+    else:
+        jax.tree_util.tree_map_with_path(visit, params, grads)
+    return lines
+
+
+def live_buffer_stats():
+    """Total count/bytes of live device arrays (leak debugging)."""
+    import jax
+
+    arrays = jax.live_arrays()
+    total = sum(a.size * a.dtype.itemsize for a in arrays)
+    return {"count": len(arrays), "bytes": total}

@@ -1,0 +1,45 @@
+"""Pallas fused IoU+prune kernel vs the reference jnp implementation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from groomed_nms_tpu.ops.iou import pairwise_iou
+from groomed_nms_tpu.ops.groomed_nms import pruning_function
+from groomed_nms_tpu.ops.pallas_kernels import fused_iou_prune
+
+
+def _boxes(rng, n):
+    x1 = rng.uniform(0, 800, n)
+    y1 = rng.uniform(0, 400, n)
+    w = rng.uniform(20, 200, n)
+    h = rng.uniform(20, 150, n)
+    return np.stack([x1, y1, x1 + w, y1 + h], axis=1).astype(np.float32)
+
+
+@pytest.mark.parametrize("n", [64, 256, 500])
+@pytest.mark.parametrize("method", ["linear", "sigmoidal", "soft_nms"])
+def test_fused_matches_reference(rng, n, method):
+    boxes = _boxes(rng, n)
+    iou_k, prune_k = fused_iou_prune(
+        jnp.asarray(boxes), pruning_method=method, temperature=0.1,
+        interpret=True)
+    iou_ref = np.asarray(pairwise_iou(jnp.asarray(boxes), jnp.asarray(boxes)))
+    p_ref = np.asarray(pruning_function(iou_ref, temperature=0.1,
+                                        pruning_method=method))
+    p_ref = np.tril(p_ref, -1)
+    np.testing.assert_allclose(np.asarray(iou_k), iou_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(prune_k), p_ref, atol=2e-5)
+
+
+def test_fused_valid_mask(rng):
+    n = 100
+    boxes = _boxes(rng, n)
+    valid = rng.uniform(0, 1, n) > 0.3
+    iou_k, prune_k = fused_iou_prune(jnp.asarray(boxes),
+                                     valid_mask=jnp.asarray(valid),
+                                     interpret=True)
+    iou_k = np.asarray(iou_k)
+    assert (iou_k[~valid, :] == 0).all()
+    assert (iou_k[:, ~valid] == 0).all()
+    assert (np.asarray(prune_k)[~valid, :] == 0).all()
