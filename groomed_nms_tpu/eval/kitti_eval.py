@@ -109,3 +109,41 @@ def evaluate_kitti_results_verbose(results_dir, gt_dir, fast_eval=True,
                   "wb") as f:
             pickle.dump(grid, f)
     return out
+
+
+def kitti_roc_table(results_dir, gt_dir, cls="car", metric="detection_3d",
+                    ious=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7), protocol="R40",
+                    log_fn=print):
+    """AP-vs-IoU-threshold ROC table (reference print_kitti_ROC,
+    lib/rpn_util.py:2203-2224). Returns {iou: [easy, mod, hard]}."""
+    table = {}
+    for ov in ious:
+        res = run_kitti_eval(results_dir, gt_dir, (ov, ov, ov),
+                             protocol=protocol)
+        table[ov] = res.get((cls, metric), [0.0, 0.0, 0.0])
+    header = "IoU   " + "  ".join(f"{d:>8}" for d in DIFFICULTIES)
+    log_fn(header)
+    for ov, aps in table.items():
+        log_fn(f"{ov:.2f}  " + "  ".join(f"{a:8.2f}" for a in aps))
+    return table
+
+
+def save_kitti_roc(table, out_path, title="AP3D vs IoU"):
+    """Plot the ROC table (reference save_kitti_ROC,
+    lib/rpn_util.py:2226-2251)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ious = sorted(table)
+    for di, name in enumerate(DIFFICULTIES):
+        ax.plot(ious, [table[ov][di] for ov in ious], marker="o", label=name)
+    ax.set_xlabel("IoU threshold")
+    ax.set_ylabel("AP")
+    ax.set_title(title)
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)

@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--split", default="validation")
     ap.add_argument("--limit", type=int, default=None)
+    # embarrassingly-parallel eval fan-out: shard the val images across
+    # processes/hosts, gather txt files, run the evaluator once on shard 0
+    # (SURVEY.md section 2.10's multi-host eval design)
+    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--shard-index", type=int, default=0)
+    ap.add_argument("--skip-eval", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +68,10 @@ def main():
                       cache_file=None, im_ext=cfg.im_ext)
     if args.limit:
         imdb = imdb[:args.limit]
-    log.info("val imdb: %d images", len(imdb))
+    if args.num_shards > 1:
+        imdb = imdb[args.shard_index::args.num_shards]
+    log.info("val imdb: %d images (shard %d/%d)", len(imdb),
+             args.shard_index, args.num_shards)
 
     anchors, means, stds = prepare_anchors(cfg, [], cache_dir=out_dir)
     feat_hw = (cfg.crop_size[0] // cfg.feat_stride,
@@ -139,6 +148,8 @@ def main():
     log.info("inference done: %.1f img/s end-to-end",
              n_done / (time.time() - t0))
     gt_dir = os.path.join(root, args.split, "label_2")
+    if args.skip_eval or args.shard_index != 0:
+        return
     if os.path.isdir(gt_dir):
         evaluate_kitti_results_verbose(results_dir, gt_dir,
                                        fast_eval=cfg.fast_eval,

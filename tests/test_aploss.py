@@ -107,3 +107,20 @@ def test_ranknet_prefers_correct_order():
         valid_mask=jnp.asarray([True, True, True, False])))
     np.testing.assert_allclose(padded, float(ranknet_loss(scores_good, rel)),
                                atol=1e-6)
+
+
+def test_custom_mse_matches_autodiff():
+    """custom_vjp hand gradient == autodiff MSE (reference
+    test/test_custom_loss.py parity check), incl. loss-weight scaling."""
+    from groomed_nms_tpu.losses.custom_loss import custom_mse
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    tar = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    for w in (1.0, 2.5):
+        got = float(custom_mse(pred, tar, w))
+        want = float(w * jnp.mean((pred - tar) ** 2))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        g_got = jax.grad(lambda p: custom_mse(p, tar, w))(pred)
+        g_want = jax.grad(lambda p: w * jnp.mean((p - tar) ** 2))(pred)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=1e-6)
