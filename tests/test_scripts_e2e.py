@@ -1,0 +1,84 @@
+"""End-to-end script integration: train 4 iters + test on synthetic KITTI."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CAL = ("P2: 300.0 0.0 160.0 10.0 0.0 300.0 48.0 -0.1 "
+       "0.0 0.0 1.0 0.002\n")
+
+
+def _make_tree(root, split, n_images, im_h=96, im_w=320, seed=0):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    for sub in ("image_2", "calib", "label_2"):
+        os.makedirs(os.path.join(root, split, sub), exist_ok=True)
+    for i in range(n_images):
+        iid = f"{i:06d}"
+        img = rng.integers(0, 255, (im_h, im_w, 3), np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(root, split, "image_2", iid + ".png"))
+        open(os.path.join(root, split, "calib", iid + ".txt"),
+             "w").write(CAL)
+        lines = []
+        for _ in range(3):
+            x, z = rng.uniform(-8, 8), rng.uniform(8, 30)
+            ry = rng.uniform(-np.pi, np.pi)
+            alpha = ry - np.arctan2(x, z)
+            u = 300 * x / z + 160
+            v = 300 * 1.65 / z + 48
+            w2 = 300 * 1.8 / z
+            h2 = 300 * 1.6 / z
+            x1, y1 = np.clip(u - w2 / 2, 0, im_w - 10), \
+                np.clip(v - h2, 0, im_h - 10)
+            lines.append(
+                f"Car 0.0 0 {alpha:.3f} {x1:.2f} {y1:.2f} "
+                f"{min(x1 + w2, im_w - 1):.2f} {min(y1 + h2, im_h - 1):.2f} "
+                f"1.5 1.6 3.9 {x:.2f} 1.65 {z:.2f} {ry:.3f}")
+        open(os.path.join(root, split, "label_2", iid + ".txt"),
+             "w").write("\n".join(lines) + "\n")
+
+
+@pytest.mark.slow
+def test_train_then_test_scripts(tmp_path):
+    data_root = tmp_path / "data"
+    out_root = tmp_path / "output"
+    kitti = data_root / "kitti_split1"
+    _make_tree(str(kitti), "training", 6)
+    _make_tree(str(kitti), "validation", 4, seed=1)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    train = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train.py"),
+         "--config", "tiny_synthetic", "--data-root", str(data_root),
+         "--output", str(out_root)],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert train.returncode == 0, train.stderr[-3000:]
+    weights = out_root / "tiny_synthetic" / "weights"
+    assert weights.is_dir() and any(weights.iterdir()), \
+        "no checkpoints written"
+
+    test = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "test.py"),
+         "--config", "tiny_synthetic", "--data-root", str(data_root),
+         "--output", str(out_root)],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert test.returncode == 0, test.stderr[-3000:]
+    results = out_root / "tiny_synthetic" / "results" / "results_latest" / \
+        "data"
+    txts = sorted(results.iterdir())
+    assert len(txts) == 4, "one result file per val image"
+    # the evaluator ran (random weights -> APs may be 0; files must exist)
+    stats = list((results.parent).glob("stats_*"))
+    assert train.stdout or True  # logs captured
+    assert stats or "evaluated" in test.stdout + test.stderr
