@@ -197,3 +197,35 @@ def top_k_after_nms(boxes_scores, keep, top_n, score_threshold=None):
     if score_threshold is not None:
         kept = kept[kept[:, 4] >= score_threshold]
     return kept
+
+
+def greedy_nms_cpp(dets, nms_threshold, shift=1.0):
+    """C++ greedy-NMS oracle via ctypes (eval/cpu_nms.cpp).
+
+    Same contract as :func:`greedy_nms_numpy`; compiled on demand with the
+    eval Makefile.  Raises RuntimeError if no C++ toolchain is available.
+    """
+    import ctypes
+    import os
+    import subprocess
+
+    eval_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            os.pardir, os.pardir, "eval")
+    lib_path = os.path.join(eval_dir, "libcpu_nms.so")
+    if not os.path.exists(lib_path):
+        subprocess.check_call(["make", "-C", os.path.abspath(eval_dir),
+                               "libcpu_nms.so"])
+    lib = ctypes.CDLL(lib_path)
+    lib.greedy_nms.restype = ctypes.c_int32
+    lib.greedy_nms.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_float,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_int32)]
+
+    dets = np.ascontiguousarray(dets, np.float32)
+    n = dets.shape[0]
+    keep = np.zeros(n, np.int32)
+    n_keep = lib.greedy_nms(
+        dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.c_float(nms_threshold), ctypes.c_float(shift),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return keep[:n_keep].astype(np.int64)

@@ -1,6 +1,7 @@
 """Classical / soft NMS parity tests vs the numpy oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from groomed_nms_tpu.ops.nms import (
@@ -138,3 +139,32 @@ def test_blocked_nms_suppression_chain(rng):
                                          jnp.asarray(scores),
                                          nms_threshold=0.4, tile=2))
     np.testing.assert_array_equal(keep, [True, False, True, True])
+
+
+def test_cpp_oracle_matches_numpy(rng):
+    """C++ ctypes oracle == numpy oracle == device kernels."""
+    import shutil
+    if shutil.which("make") is None:
+        pytest.skip("no C++ toolchain")
+    import jax.numpy as jnp
+    from groomed_nms_tpu.ops.nms import (greedy_nms_blocked, greedy_nms_cpp,
+                                         greedy_nms_numpy)
+
+    n = 200
+    x1 = rng.uniform(0, 800, n)
+    y1 = rng.uniform(0, 400, n)
+    w = rng.uniform(20, 200, n)
+    h = rng.uniform(20, 150, n)
+    boxes = np.stack([x1, y1, x1 + w, y1 + h], axis=1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    dets = np.hstack([boxes, scores[:, None]])
+
+    keep_cpp = greedy_nms_cpp(dets, 0.4)
+    keep_np = greedy_nms_numpy(dets, 0.4)
+    np.testing.assert_array_equal(keep_cpp, keep_np)
+
+    keep_dev = np.asarray(greedy_nms_blocked(jnp.asarray(boxes),
+                                             jnp.asarray(scores),
+                                             nms_threshold=0.4))
+    np.testing.assert_array_equal(np.flatnonzero(keep_dev),
+                                  np.sort(keep_cpp))
