@@ -12,7 +12,7 @@ def config() -> ExperimentConfig:
         name="tiny_synthetic",
         backbone_tiny=True,
         max_iter=4,
-        snapshot_iter=2,
+        snapshot_iter=50,   # the final iteration always checkpoints
         display=2,
         batch_size=2,
         test_batch_size=2,

@@ -60,7 +60,8 @@ def main():
     results_dir = os.path.join(out_dir, "results",
                                f"results_{args.restore or 'latest'}")
     os.makedirs(os.path.join(results_dir, "data"), exist_ok=True)
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    logging.basicConfig(
+        force=True, level=logging.INFO, format="%(asctime)s %(message)s")
     log = logging.getLogger(__name__)
 
     root = os.path.join(args.data_root, cfg.dataset_test)

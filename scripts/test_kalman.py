@@ -47,7 +47,8 @@ def main():
     out_dir = os.path.join(args.output, cfg.name)
     results_dir = os.path.join(out_dir, "results", "results_kalman")
     os.makedirs(os.path.join(results_dir, "data"), exist_ok=True)
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    logging.basicConfig(
+        force=True, level=logging.INFO, format="%(asctime)s %(message)s")
     log = logging.getLogger(__name__)
 
     root = os.path.join(args.data_root, cfg.dataset_test)

@@ -48,7 +48,8 @@ def main():
                                               extract_measurements)
     from groomed_nms_tpu.utils.vis import draw_2d_box, draw_3d_box, draw_bev
 
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    logging.basicConfig(
+        force=True, level=logging.INFO, format="%(asctime)s %(message)s")
     log = logging.getLogger(__name__)
     cfg = load_config(args.config)
 

@@ -52,7 +52,7 @@ def main():
     out_dir = os.path.join(args.output, cfg.name)
     os.makedirs(out_dir, exist_ok=True)
     logging.basicConfig(
-        level=logging.INFO, format="%(asctime)s %(message)s",
+        force=True, level=logging.INFO, format="%(asctime)s %(message)s",
         handlers=[logging.StreamHandler(),
                   logging.FileHandler(os.path.join(out_dir, "train.log"))])
     log = logging.getLogger(__name__)

@@ -53,7 +53,8 @@ def main():
         cfg = cfg.replace(max_iter=args.max_iter)
     out_dir = os.path.join(args.output, cfg.name + "_pose")
     os.makedirs(out_dir, exist_ok=True)
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    logging.basicConfig(
+        force=True, level=logging.INFO, format="%(asctime)s %(message)s")
     log = logging.getLogger(__name__)
 
     root = os.path.join(args.data_root, cfg.dataset_train)

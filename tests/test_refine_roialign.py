@@ -81,3 +81,22 @@ def test_roi_align_gradient_and_max():
     g = jax.grad(lambda f: roi_align(f, rois, output_size=(2, 2)).sum())(feats)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_render_detections_smoke(tmp_path):
+    """Qualitative renderer writes a figure without errors."""
+    import numpy as np
+    from groomed_nms_tpu.utils.vis import render_detections
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (96, 320, 3), np.uint8)
+    dets = np.zeros((3, 17))
+    dets[0] = [40, 20, 120, 70, 0.9, 1, 0, 0, 15, 1.6, 1.5, 3.9, 0.2,
+               1.0, 1.2, 15.0, 0.4]
+    dets[1] = [200, 30, 280, 80, 0.7, 2, 0, 0, 25, 0.6, 1.7, 0.8, -0.5,
+               -2.0, 1.2, 25.0, -0.3]
+    valid = np.array([True, True, False])
+    out = tmp_path / "render.png"
+    render_detections(img, dets, valid, P2, ["Car", "Pedestrian", "Cyclist"],
+                      score_thres=0.5, out_path=str(out))
+    assert out.exists() and out.stat().st_size > 1000

@@ -12,18 +12,18 @@ CAL = ("P2: 300.0 0.0 160.0 10.0 0.0 300.0 48.0 -0.1 "
        "0.0 0.0 1.0 0.002\n")
 
 
-def _make_tree(root, split, n_images, im_h=96, im_w=320, seed=0):
+def _make_tree(root, split, n_images, im_h=96, im_w=320, seed=0,
+               paint_objects=True):
+    """Synthetic KITTI tree. With ``paint_objects`` the object boxes are
+    drawn as bright rectangles so the detector has visual evidence to learn
+    from (pure-noise images make learning impossible by construction)."""
     from PIL import Image
     rng = np.random.default_rng(seed)
     for sub in ("image_2", "calib", "label_2"):
         os.makedirs(os.path.join(root, split, sub), exist_ok=True)
     for i in range(n_images):
         iid = f"{i:06d}"
-        img = rng.integers(0, 255, (im_h, im_w, 3), np.uint8)
-        Image.fromarray(img).save(
-            os.path.join(root, split, "image_2", iid + ".png"))
-        open(os.path.join(root, split, "calib", iid + ".txt"),
-             "w").write(CAL)
+        img = rng.integers(0, 80, (im_h, im_w, 3), np.uint8)
         lines = []
         for _ in range(3):
             x, z = rng.uniform(-8, 8), rng.uniform(8, 30)
@@ -35,10 +35,19 @@ def _make_tree(root, split, n_images, im_h=96, im_w=320, seed=0):
             h2 = 300 * 1.6 / z
             x1, y1 = np.clip(u - w2 / 2, 0, im_w - 10), \
                 np.clip(v - h2, 0, im_h - 10)
+            x2 = min(x1 + w2, im_w - 1)
+            y2 = min(y1 + h2, im_h - 1)
+            if paint_objects:
+                img[int(y1):int(y2) + 1, int(x1):int(x2) + 1] = \
+                    rng.integers(170, 255, 3)
             lines.append(
                 f"Car 0.0 0 {alpha:.3f} {x1:.2f} {y1:.2f} "
-                f"{min(x1 + w2, im_w - 1):.2f} {min(y1 + h2, im_h - 1):.2f} "
+                f"{x2:.2f} {y2:.2f} "
                 f"1.5 1.6 3.9 {x:.2f} 1.65 {z:.2f} {ry:.3f}")
+        Image.fromarray(img).save(
+            os.path.join(root, split, "image_2", iid + ".png"))
+        open(os.path.join(root, split, "calib", iid + ".txt"),
+             "w").write(CAL)
         open(os.path.join(root, split, "label_2", iid + ".txt"),
              "w").write("\n".join(lines) + "\n")
 
