@@ -38,6 +38,12 @@ def main():
     out, valid = jfn(images, params, batch_stats)
     jax.block_until_ready((out, valid))
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            out, valid = jfn(images, params, batch_stats)
+            jax.block_until_ready((out, valid))
+
     t0 = time.perf_counter()
     for _ in range(iters):
         out, valid = jfn(images, params, batch_stats)

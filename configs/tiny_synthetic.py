@@ -27,6 +27,7 @@ def config() -> ExperimentConfig:
         nms_topN_pre=64,
         nms_topN_post=8,
         score_thres=0.05,
+        bbox_2d_lambda=1.0,   # direct 2D smooth-L1 for fast overfit checks
         use_nms_in_loss=True,
         predict_acceptance_prob=True,
         use_acceptance_prob_in_regression_loss=True,
