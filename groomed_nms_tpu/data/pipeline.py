@@ -144,6 +144,17 @@ class TrainLoader:
         self.weights = balance_samples(imdb, list(cfg.lbls), list(cfg.ilbls),
                                        cfg.min_gt_vis, cfg.min_gt_h,
                                        cfg.fg_image_ratio)
+        # a batch must hold ONE image size: the device-side resize applies a
+        # single target_h/h0 scale to the whole (padded) batch, so mixing
+        # sizes would corrupt per-image scale factors.  Group indices by
+        # size and sample each batch within one group (weighted by mass).
+        groups = {}
+        for i, rec in enumerate(imdb):
+            groups.setdefault((rec.im_h, rec.im_w), []).append(i)
+        self._size_groups = [np.asarray(v) for v in groups.values()]
+        self._group_w = np.array(
+            [self.weights[g].sum() for g in self._size_groups])
+        self._group_w = self._group_w / self._group_w.sum()
         self._q = queue.Queue(maxsize=prefetch)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -155,8 +166,10 @@ class TrainLoader:
 
     def _make_batch(self):
         cfg = self.cfg
-        idx = self.rng.choice(len(self.imdb), size=cfg.batch_size,
-                              p=self.weights)
+        gi = self.rng.choice(len(self._size_groups), p=self._group_w)
+        group = self._size_groups[gi]
+        gw = self.weights[group]
+        idx = self.rng.choice(group, size=cfg.batch_size, p=gw / gw.sum())
         images, gts_list, p2s, scales, mirrors = [], [], [], [], []
         for i in idx:
             rec = self.imdb[i]

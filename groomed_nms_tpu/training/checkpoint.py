@@ -22,7 +22,7 @@ def _ckpt_dir(output_dir, step):
                         f"checkpoint_{step}")
 
 
-def save_checkpoint(output_dir, state, step=None):
+def save_checkpoint(output_dir, state, step=None, max_keep=None):
     step = int(state.step) if step is None else int(step)
     path = _ckpt_dir(output_dir, step)
     ckptr = ocp.StandardCheckpointer()
@@ -38,6 +38,14 @@ def save_checkpoint(output_dir, state, step=None):
     }
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+    if max_keep:
+        import shutil
+        wdir = os.path.join(output_dir, "weights")
+        steps = sorted(
+            int(m.group(1)) for name in os.listdir(wdir)
+            for m in [re.fullmatch(r"checkpoint_(\d+)", name)] if m)
+        for old in steps[:-max_keep]:
+            shutil.rmtree(_ckpt_dir(output_dir, old), ignore_errors=True)
     return path
 
 
