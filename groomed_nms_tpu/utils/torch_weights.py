@@ -153,3 +153,42 @@ def convert_rpn_checkpoint(sd, num_classes, num_anchors,
             params[name] = {"kernel": _conv(w), "bias": np.asarray(b)}
 
     return {"params": params, "batch_stats": stats}
+
+
+def assemble_video_variables(video_model, single_frame_state, pose_npz=None,
+                             example_shape=(1, 2, 64, 64, 3)):
+    """Build VideoRPN3D variables from a single-frame RPN checkpoint.
+
+    Mirrors the reference's staging (the video model warm-starts its trunk +
+    heads from the `_un` single-frame run and trains only the pose branch,
+    scripts/config/kitti_3d_full.py): the RPN subtree comes from
+    ``single_frame_state`` (a TrainState), the pose branch from the npz
+    written by scripts/train_pose.py (or fresh init when absent).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    variables = video_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros(example_shape, jnp.float32),
+                                 train=False)
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    params["rpn"] = single_frame_state.params
+    stats["rpn"] = single_frame_state.batch_stats
+
+    if pose_npz is not None:
+        z = np.load(pose_npz)
+        pose = params["pose_net"]
+
+        def fill(tree, prefix=""):
+            out = {}
+            for k, v in tree.items():
+                key = f"{prefix}{k}"
+                if isinstance(v, dict):
+                    out[k] = fill(v, key + "/")
+                else:
+                    out[k] = z[key] if key in z.files else v
+            return out
+
+        params["pose_net"] = fill(pose)
+    return {"params": params, "batch_stats": stats}

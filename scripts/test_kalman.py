@@ -66,9 +66,29 @@ def main():
                        score_thres=cfg.score_thres, nms_thres=cfg.nms_thres,
                        best_thresh=cfg.best_thresh)
     model = VideoRPN3D(vcfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 2, 64, 64, 3)), train=False)
-    # TODO: restore from checkpoint once video training lands real weights
+    # assemble: RPN trunk/heads from the single-frame checkpoint,
+    # pose branch from scripts/train_pose.py output (when present)
+    from groomed_nms_tpu.training import (build_lr_schedule, build_optimizer,
+                                          create_train_state,
+                                          latest_checkpoint,
+                                          restore_checkpoint)
+    from groomed_nms_tpu.models import RPN3D
+    from groomed_nms_tpu.utils.torch_weights import assemble_video_variables
+
+    sf_model = RPN3D(vcfg.rpn)
+    sf_state = create_train_state(
+        sf_model, (1, 64, 64, 3),
+        build_optimizer("sgd", build_lr_schedule(cfg.lr, 100)))
+    if latest_checkpoint(out_dir) is not None:
+        sf_state = restore_checkpoint(out_dir, sf_state, args.restore,
+                                      restore_optimizer=False)
+        log.info("single-frame weights restored (iter %d)",
+                 int(sf_state.step))
+    else:
+        log.warning("no checkpoint under %s; using random weights", out_dir)
+    pose_npz = os.path.join(out_dir + "_pose", "pose_net_params.npz")
+    variables = assemble_video_variables(
+        model, sf_state, pose_npz if os.path.exists(pose_npz) else None)
 
     pose_stats = os.path.join(out_dir + "_pose", "pose_stats.npz")
     if os.path.exists(pose_stats):

@@ -128,8 +128,13 @@ def main():
             log.info(tracker.log_line(it + 1))
             tracker.reset()
 
-    np.savez(os.path.join(out_dir, "pose_params_done.npz"))
-    log.info("pose training done")
+    # persist the trained pose branch (flat npz of array leaves)
+    import jax.tree_util as jtu
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): np.asarray(v)
+            for path, v in jtu.tree_flatten_with_path(
+                params["pose_net"])[0]}
+    np.savez(os.path.join(out_dir, "pose_net_params.npz"), **flat)
+    log.info("pose training done; params -> pose_net_params.npz")
 
 
 if __name__ == "__main__":

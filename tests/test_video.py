@@ -96,3 +96,27 @@ def test_video_track_jits(video_setup):
     fn = jax.jit(lambda me, va, po: video_track(me, va, po, p2, cfg))
     final, snaps = fn(meas, valid, jnp.zeros((f, 6)))
     assert int(final.valid.sum()) == 0
+
+
+def test_assemble_video_variables(video_setup):
+    """RPN subtree transplanted from a single-frame state; pose from npz."""
+    import numpy as np
+    from groomed_nms_tpu.models.rpn_3d import RPN3D
+    from groomed_nms_tpu.training import (build_lr_schedule, build_optimizer,
+                                          create_train_state)
+    from groomed_nms_tpu.utils.torch_weights import assemble_video_variables
+
+    cfg = video_setup["cfg"]
+    sf_model = RPN3D(cfg.rpn)
+    sf_state = create_train_state(
+        sf_model, (1, 32, 64, 3),
+        build_optimizer("sgd", build_lr_schedule(0.01, 10)))
+    model = video_setup["model"]
+    variables = assemble_video_variables(model, sf_state)
+    # transplanted leaves identical to the single-frame state
+    a = jax.tree_util.tree_leaves(variables["params"]["rpn"])[0]
+    b = jax.tree_util.tree_leaves(sf_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the assembled tree runs
+    out = model.apply(variables, video_setup["images"], train=False)
+    assert np.isfinite(np.asarray(out.poses)).all()
