@@ -85,3 +85,24 @@ def live_buffer_stats():
     arrays = jax.live_arrays()
     total = sum(a.size * a.dtype.itemsize for a in arrays)
     return {"count": len(arrays), "bytes": total}
+
+
+class MetricsCSV:
+    """Append-only CSV metrics log (the plot-friendly replacement for the
+    reference's optional visdom dashboards, lib/core.py:730-780)."""
+
+    def __init__(self, path):
+        self.path = path
+        self._keys = None
+
+    def append(self, iteration, stats: dict):
+        import os
+        keys = sorted(stats)
+        if self._keys is None:
+            self._keys = keys
+            if not os.path.exists(self.path):
+                with open(self.path, "w") as f:
+                    f.write("iter," + ",".join(keys) + "\n")
+        with open(self.path, "a") as f:
+            f.write(f"{iteration}," +
+                    ",".join(f"{float(stats[k]):.6f}" for k in keys) + "\n")

@@ -104,6 +104,8 @@ def main():
     sharded_step = shard_train_step(step_fn, mesh)
     loader = TrainLoader(imdb, cfg, seed=cfg.rng_seed)
     tracker = StatTracker(cfg.max_iter, cfg.display)
+    from groomed_nms_tpu.training.stats import MetricsCSV
+    metrics_csv = MetricsCSV(os.path.join(out_dir, "metrics.csv"))
     means_img = jnp.asarray(cfg.image_means)
     stds_img = jnp.asarray(cfg.image_stds)
 
@@ -122,6 +124,7 @@ def main():
 
             if (it + 1) % cfg.display == 0:
                 log.info(tracker.log_line(it + 1, lr=float(schedule(it))))
+                metrics_csv.append(it + 1, tracker.means())
                 tracker.reset()
             if (it + 1) % cfg.snapshot_iter == 0 or (it + 1) == cfg.max_iter:
                 path = save_checkpoint(out_dir, state)
