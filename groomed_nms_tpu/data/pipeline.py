@@ -210,3 +210,30 @@ class TrainLoader:
 
     def __iter__(self):
         return self
+
+
+def device_prefetch(host_iter, transform=None, depth=2):
+    """Overlap host->device transfer with device compute.
+
+    ``jax.device_put`` is asynchronous; keeping ``depth`` batches in flight
+    hides the transfer latency behind the previous step's execution (on the
+    tunneled dev TPU the 21 MB batch transfer otherwise dominates the step).
+    ``transform`` maps the host batch to the array tree to transfer.
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+    for item in host_iter:
+        # the transform is expected to issue the (async) device_put itself
+        # (e.g. parallel.shard_batch); only fall back to a plain device_put
+        # when no transform is given -- re-putting an already-sharded tree
+        # would silently reshard it onto the default device.
+        item = transform(item) if transform is not None \
+            else jax.device_put(item)
+        buf.append(item)
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

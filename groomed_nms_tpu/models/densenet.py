@@ -71,14 +71,14 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        h = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                          name="norm1")(x)
-        h = nn.relu(h).astype(self.dtype)
+        h = nn.relu(h)
         h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                          name="norm2")(h)
-        h = nn.relu(h).astype(self.dtype)
+        h = nn.relu(h)
         d = self.dilation
         h = nn.Conv(self.growth_rate, (3, 3), padding=((d, d), (d, d)),
                     kernel_dilation=(d, d), use_bias=False, dtype=self.dtype,
@@ -95,13 +95,15 @@ class Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        h = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                          name="norm")(x)
-        h = nn.relu(h).astype(self.dtype)
-        h = nn.Conv(self.out_features, (1, 1), use_bias=False,
-                    dtype=self.dtype, name="conv")(h)
+        h = nn.relu(h)
+        # avg-pool BEFORE the bias-free 1x1 conv: mathematically identical
+        # (linear ops commute) but quarters the conv work and output traffic
         if self.pool:
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+        h = nn.Conv(self.out_features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv")(h)
         return h
 
 
@@ -123,9 +125,9 @@ class DenseNetBackbone(nn.Module):
         x = nn.Conv(cfg.stem_features, (7, 7), strides=(2, 2),
                     padding=((3, 3), (3, 3)), use_bias=False, dtype=cfg.dtype,
                     name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train, dtype=cfg.dtype,
                          name="norm0")(x)
-        x = nn.relu(x).astype(cfg.dtype)
+        x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         features = cfg.stem_features
@@ -140,6 +142,6 @@ class DenseNetBackbone(nn.Module):
                 x = Transition(features, cfg.transition_pool[bi], cfg.dtype,
                                name=f"transition{bi + 1}")(x, train)
 
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train, dtype=cfg.dtype,
                          name="norm5")(x)
-        return x.astype(cfg.dtype)
+        return x

@@ -40,14 +40,17 @@ def shard_batch(mesh, tree, axis_name=DATA_AXIS):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def shard_train_step(train_step, mesh, state_leaves_replicated=True,
-                     axis_name=DATA_AXIS):
+def shard_train_step(train_step, mesh, axis_name=DATA_AXIS, donate=False):
     """Wrap a (state, batch) -> (state, metrics) step with mesh shardings.
 
     The jitted step is compiled with: state replicated, batch sharded on the
     data axis, outputs (state, metrics) replicated.  Gradients computed from
     per-shard batches are averaged by XLA's all-reduce when the replicated
     output sharding forces reconciliation.
+
+    ``donate=False`` by default: buffer donation measured +23% step time on
+    the axon remote platform (copies instead of aliasing), and this model's
+    optimizer state fits HBM comfortably.  Turn it on for memory-bound runs.
     """
     rep = replicate(mesh)
     dat = batch_sharding(mesh, axis_name)
@@ -55,5 +58,5 @@ def shard_train_step(train_step, mesh, state_leaves_replicated=True,
         train_step,
         in_shardings=(rep, dat),
         out_shardings=(rep, rep),
-        donate_argnums=(0,),
+        donate_argnums=(0,) if donate else (),
     )

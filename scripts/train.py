@@ -109,16 +109,20 @@ def main():
     means_img = jnp.asarray(cfg.image_means)
     stds_img = jnp.asarray(cfg.image_stds)
 
+    from groomed_nms_tpu.data.pipeline import device_prefetch
+
+    def to_device_batch(hb):
+        images = preprocess_images(
+            jnp.asarray(hb["images_u8"]), jnp.asarray(hb["mirror"]),
+            means_img, stds_img, target_h=cfg.crop_size[0],
+            crop_w=cfg.crop_size[1])
+        return shard_batch(mesh, dict(images=images, **hb["gt"]._asdict()))
+
     with mesh:
         start = int(state.step)
+        batches = device_prefetch(loader, transform=to_device_batch)
         for it in range(start, cfg.max_iter):
-            hb = next(loader)
-            images = preprocess_images(
-                jnp.asarray(hb["images_u8"]), jnp.asarray(hb["mirror"]),
-                means_img, stds_img, target_h=cfg.crop_size[0],
-                crop_w=cfg.crop_size[1])
-            batch = dict(images=images, **hb["gt"]._asdict())
-            batch = shard_batch(mesh, batch)
+            batch = next(batches)
             state, stats = sharded_step(state, batch)
             tracker.update({k: v for k, v in stats.items()})
 
