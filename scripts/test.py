@@ -110,41 +110,59 @@ def main():
             dcfg)
         return nms_and_topk(dets, scores, dcfg)
 
-    # group same-sized images into device batches (one compile per size)
+    # group same-sized images into device batches (one compile per size);
+    # decode images in a thread pool and keep transfers in flight so the
+    # host IO hides behind device compute
+    from concurrent.futures import ThreadPoolExecutor
     from PIL import Image
     by_size = defaultdict(list)
     for rec in imdb:
         by_size[(rec.im_h, rec.im_w)].append(rec)
 
+    def load_chunk(chunk, h0, w0):
+        imgs = np.zeros((batch_size, h0, w0, 3), np.uint8)
+        p2 = np.tile(np.eye(4, dtype=np.float32)[None], (batch_size, 1, 1))
+
+        def read(bi_rec):
+            bi, rec = bi_rec
+            with Image.open(rec.image_path) as im:
+                imgs[bi] = np.asarray(im.convert("RGB"), np.uint8)
+            p2[bi] = rec.p2
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(read, enumerate(chunk)))
+        return imgs, p2
+
+    def chunk_iter():
+        for (h0, w0), recs in by_size.items():
+            for i in range(0, len(recs), batch_size):
+                chunk = recs[i:i + batch_size]
+                imgs, p2 = load_chunk(chunk, h0, w0)
+                scale = np.full((batch_size,), cfg.crop_size[0] / h0,
+                                np.float32)
+                yield chunk, (jnp.asarray(imgs), jnp.asarray(p2),
+                              jnp.asarray(np.linalg.inv(p2)),
+                              jnp.asarray(scale))
+
     t0 = time.time()
     n_done = 0
-    for (h0, w0), recs in by_size.items():
-        for i in range(0, len(recs), batch_size):
-            chunk = recs[i:i + batch_size]
-            n = len(chunk)
-            imgs = np.zeros((batch_size, h0, w0, 3), np.uint8)
-            p2 = np.tile(np.eye(4, dtype=np.float32)[None],
-                         (batch_size, 1, 1))
-            for bi, rec in enumerate(chunk):
-                with Image.open(rec.image_path) as im:
-                    imgs[bi] = np.asarray(im.convert("RGB"), np.uint8)
-                p2[bi] = rec.p2
-            scale = np.full((batch_size,), cfg.crop_size[0] / h0, np.float32)
-            dets, valid = infer(jnp.asarray(imgs), jnp.asarray(p2),
-                                jnp.asarray(np.linalg.inv(p2)),
-                                jnp.asarray(scale))
-            dets = np.asarray(dets)
-            valid = np.asarray(valid)
-            for bi, rec in enumerate(chunk):
-                write_kitti_detections(
-                    os.path.join(results_dir, "data", rec.id + ".txt"),
-                    dets[bi], valid[bi], list(cfg.lbls),
-                    score_thres=cfg.score_thres)
-            n_done += n
-            if n_done % 500 < batch_size:
-                dt = (time.time() - t0) / max(n_done, 1)
-                log.info("tested %d/%d, %.1f img/s", n_done, len(imdb),
-                         1.0 / max(dt, 1e-9))
+    from groomed_nms_tpu.data.pipeline import device_prefetch
+    for chunk, (imgs_d, p2_d, p2i_d, scale_d) in device_prefetch(
+            chunk_iter(), transform=lambda x: (x[0], jax.device_put(x[1]))):
+        n = len(chunk)
+        dets, valid = infer(imgs_d, p2_d, p2i_d, scale_d)
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        for bi, rec in enumerate(chunk):
+            write_kitti_detections(
+                os.path.join(results_dir, "data", rec.id + ".txt"),
+                dets[bi], valid[bi], list(cfg.lbls),
+                score_thres=cfg.score_thres)
+        n_done += n
+        if n_done % 500 < batch_size:
+            dt = (time.time() - t0) / max(n_done, 1)
+            log.info("tested %d/%d, %.1f img/s", n_done, len(imdb),
+                     1.0 / max(dt, 1e-9))
 
     log.info("inference done: %.1f img/s end-to-end",
              n_done / (time.time() - t0))
