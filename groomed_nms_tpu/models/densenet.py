@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from typing import Sequence
 
 import flax.linen as nn
+
 import jax.numpy as jnp
 
 
@@ -43,6 +44,11 @@ class DenseNetConfig:
     # transition3 (index 2) keeps its 1x1 conv but loses the pool.
     transition_pool: Sequence[bool] = (True, True, False)
     dtype: jnp.dtype = jnp.float32       # compute dtype (bf16 for TPU speed)
+    # NOTE: a dynamic-update-slice variant of the dense connectivity (write
+    # growth channels into a preallocated block buffer instead of chaining
+    # concats) measured 2.7x SLOWER on v5e (150.8 vs 55.8 ms/batch-8
+    # forward): XLA already elides the concat-chain copies, and DUS breaks
+    # its fusion. Keep the plain concat chain.
 
     @property
     def out_features(self) -> int:
@@ -83,7 +89,7 @@ class DenseLayer(nn.Module):
         h = nn.Conv(self.growth_rate, (3, 3), padding=((d, d), (d, d)),
                     kernel_dilation=(d, d), use_bias=False, dtype=self.dtype,
                     name="conv2")(h)
-        return jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
+        return h.astype(self.dtype)
 
 
 class Transition(nn.Module):
@@ -133,9 +139,11 @@ class DenseNetBackbone(nn.Module):
         features = cfg.stem_features
         for bi, num_layers in enumerate(cfg.block_layers):
             for li in range(num_layers):
-                x = DenseLayer(cfg.growth_rate, cfg.bn_size,
-                               cfg.block_dilations[bi], cfg.dtype,
-                               name=f"denseblock{bi + 1}_layer{li + 1}")(x, train)
+                new = DenseLayer(
+                    cfg.growth_rate, cfg.bn_size,
+                    cfg.block_dilations[bi], cfg.dtype,
+                    name=f"denseblock{bi + 1}_layer{li + 1}")(x, train)
+                x = jnp.concatenate([x, new.astype(x.dtype)], axis=-1)
             features += num_layers * cfg.growth_rate
             if bi < len(cfg.block_layers) - 1:
                 features //= 2
