@@ -209,6 +209,17 @@ def detect_batch(apply_fn, variables, images, rois, rois_3d, p2, p2_inv,
     return nms_and_topk(dets, scores, cfg)
 
 
+def clip_detections(dets, im_w, im_h):
+    """Clip final 2D boxes to the original image (reference
+    lib/rpn_util.py:1347-1351, enabled by conf.clip_boxes)."""
+    dets = np.array(dets, copy=True)
+    dets[:, 0] = np.clip(dets[:, 0], 0, im_w - 1)
+    dets[:, 1] = np.clip(dets[:, 1], 0, im_h - 1)
+    dets[:, 2] = np.clip(dets[:, 2], 0, im_w - 1)
+    dets[:, 3] = np.clip(dets[:, 3], 0, im_h - 1)
+    return dets
+
+
 def write_kitti_detections(path, dets, valid, class_names,
                            score_thres=0.6, classes_to_write=None):
     """Write one image's detections in KITTI result format (host-side).

@@ -74,6 +74,10 @@ def main():
     log.info("val imdb: %d images (shard %d/%d)", len(imdb),
              args.shard_index, args.num_shards)
 
+    if not os.path.exists(os.path.join(out_dir, "anchors.npz")):
+        raise FileNotFoundError(
+            f"{out_dir}/anchors.npz missing -- run scripts/train.py first "
+            "(anchor priors + bbox statistics are learned from the train set)")
     anchors, means, stds = prepare_anchors(cfg, [], cache_dir=out_dir)
     feat_hw = (cfg.crop_size[0] // cfg.feat_stride,
                cfg.crop_size[1] // cfg.feat_stride)
@@ -154,9 +158,13 @@ def main():
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         for bi, rec in enumerate(chunk):
+            d = dets[bi]
+            if cfg.clip_boxes:
+                from groomed_nms_tpu.inference import clip_detections
+                d = clip_detections(d, rec.im_w, rec.im_h)
             write_kitti_detections(
                 os.path.join(results_dir, "data", rec.id + ".txt"),
-                dets[bi], valid[bi], list(cfg.lbls),
+                d, valid[bi], list(cfg.lbls),
                 score_thres=cfg.score_thres)
         n_done += n
         if n_done % 500 < batch_size:

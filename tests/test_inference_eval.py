@@ -181,3 +181,13 @@ def test_cpp_evaluator_end_to_end(tmp_path):
     res3 = run_kitti_eval(str(tmp_path / "results"), str(gt_dir),
                           overlaps=(0.7, 0.5, 0.5), max_dist=30)
     assert ("car", "detection") in res3
+
+
+def test_clip_detections():
+    from groomed_nms_tpu.inference import clip_detections
+    dets = np.zeros((2, 17))
+    dets[0, :4] = [-10, -5, 2000, 900]
+    dets[1, :4] = [100, 50, 200, 150]
+    out = clip_detections(dets, im_w=1242, im_h=375)
+    np.testing.assert_allclose(out[0, :4], [0, 0, 1241, 374])
+    np.testing.assert_allclose(out[1, :4], dets[1, :4])
