@@ -87,8 +87,8 @@ def main():
     model = RPN3D(cfg.rpn_config(anchors.shape[0]))
     schedule = build_lr_schedule(cfg.lr, cfg.max_iter)
     tx = build_optimizer(cfg.solver_type, schedule)
-    state = create_train_state(
-        model, (1, cfg.crop_size[0], cfg.crop_size[1], 3), tx)
+    # tiny-size init: param shapes are H/W-free (skips a full-size compile)
+    state = create_train_state(model, (1, 64, 64, 3), tx)
     state = restore_checkpoint(out_dir, state, args.restore,
                                restore_optimizer=False)
     log.info("restored iter %d", int(state.step))

@@ -84,9 +84,11 @@ def main():
     tx = build_optimizer(cfg.solver_type, schedule, cfg.momentum,
                          cfg.weight_decay, cfg.grad_clip_value,
                          cfg.batch_skip)
-    state = create_train_state(
-        model, (1, cfg.crop_size[0], cfg.crop_size[1], 3), tx,
-        rng=jax.random.PRNGKey(cfg.rng_seed))
+    # init at a tiny spatial size: conv/BN param shapes are H/W-free and
+    # this skips a throwaway full-resolution compile (~10 min through the
+    # remote-compile tunnel)
+    state = create_train_state(model, (1, 64, 64, 3), tx,
+                               rng=jax.random.PRNGKey(cfg.rng_seed))
 
     if args.restore is not None:
         state = restore_checkpoint(out_dir, state, args.restore)
