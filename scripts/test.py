@@ -99,6 +99,15 @@ def main():
     stds_img = jnp.asarray(cfg.image_stds)
     rois_j, rois_3d_j = jnp.asarray(rois), jnp.asarray(rois_3d)
 
+    # multi-chip: shard the image batch over the mesh data axis; XLA
+    # replicates the params and keeps each image's pipeline chip-local
+    from groomed_nms_tpu.parallel import batch_sharding, create_mesh
+    n_dev = len(jax.devices())
+    mesh = create_mesh() if n_dev > 1 else None
+    if mesh is not None and batch_size % n_dev != 0:
+        batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+        log.info("batch rounded to %d for %d devices", batch_size, n_dev)
+
     @jax.jit
     def infer(images_u8, p2, p2_inv, scale):
         images = preprocess_images(
@@ -148,11 +157,18 @@ def main():
                               jnp.asarray(np.linalg.inv(p2)),
                               jnp.asarray(scale))
 
+    if mesh is not None:
+        sharding = batch_sharding(mesh)
+        put = lambda t: jax.device_put(t, sharding)
+    else:
+        put = jax.device_put
+
     t0 = time.time()
     n_done = 0
     from groomed_nms_tpu.data.pipeline import device_prefetch
     for chunk, (imgs_d, p2_d, p2i_d, scale_d) in device_prefetch(
-            chunk_iter(), transform=lambda x: (x[0], jax.device_put(x[1]))):
+            chunk_iter(),
+            transform=lambda x: (x[0], tuple(put(t) for t in x[1]))):
         n = len(chunk)
         dets, valid = infer(imgs_d, p2_d, p2i_d, scale_d)
         dets = np.asarray(dets)
