@@ -455,18 +455,26 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
 
         if cfg.after_nms_lambda:
             if cfg.after_nms_loss_mode == "rank":
-                def ap_per_image(sa, ta, fg_img, sc_img):
+                def gather_ap(sa, ta, fg_img, sc_img):
                     key = jnp.where(fg_img, sc_img, -jnp.inf)
                     _, idx = jax.lax.top_k(key, cfg.max_ap_boxes)
                     valid = jnp.take(key, idx) > -jnp.inf
                     logits = jnp.where(valid, sa[idx], 0.0)
                     targets = jnp.where(valid, ta[idx], -1.0)
-                    return ap_loss(logits, targets), jnp.any(fg_img)
+                    return logits, targets, jnp.any(fg_img)
 
-                ap_vals, has_fg = jax.vmap(ap_per_image)(
+                logits_b, targets_b, has_fg = jax.vmap(gather_ap)(
                     scores_after, targets_after, fg_sel, scores_nms)
-                img_cnt = jnp.maximum(jnp.sum(has_fg), 1)
-                loss_nms = jnp.sum(jnp.where(has_fg, ap_vals, 0.0)) / img_cnt
+                if cfg.rank_boxes_of_all_images_at_once:
+                    # the no_rankwise_AP ablation: one ranking over the
+                    # whole batch (reference rpn_3d.py:1118-1119)
+                    loss_nms = ap_loss(logits_b.reshape(-1),
+                                       targets_b.reshape(-1))
+                else:
+                    ap_vals = jax.vmap(ap_loss)(logits_b, targets_b)
+                    img_cnt = jnp.maximum(jnp.sum(has_fg), 1)
+                    loss_nms = jnp.sum(
+                        jnp.where(has_fg, ap_vals, 0.0)) / img_cnt
             elif cfg.after_nms_loss_mode == "classify":
                 tgt_d = jax.lax.stop_gradient(targets_after)
                 n_pos = jnp.sum(jnp.where(fg_sel, tgt_d, 0.0))

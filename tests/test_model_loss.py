@@ -160,3 +160,14 @@ def test_loss_gradients_flow_through_nms(tiny_setup):
                           grads["accept_out"]))
     assert np.isfinite(accept_grad)
     assert accept_grad > 0, "after-NMS rank loss must train the accept head"
+
+
+def test_loss_rank_all_images_at_once(tiny_setup):
+    """The no_rankwise_AP ablation path: one AP ranking over the batch."""
+    lcfg = LossConfig(use_nms_in_loss=True, predict_acceptance_prob=True,
+                      rank_boxes_of_all_images_at_once=True,
+                      best_target_box_beta=-10.0,
+                      max_nms_boxes=64, max_ap_boxes=128)
+    loss, stats, _ = _loss_for(tiny_setup, lcfg)
+    assert np.isfinite(float(loss))
+    assert "after_nms" in stats and np.isfinite(float(stats["after_nms"]))
