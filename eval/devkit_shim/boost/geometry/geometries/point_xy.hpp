@@ -1,0 +1,2 @@
+// Shim: contents folded into boost/geometry.hpp
+#include <boost/geometry.hpp>
