@@ -247,22 +247,30 @@ def compute_bbox_stats(per_image_transforms_iter, n_targets):
 
     Returns (means [1, T], stds [1, T]) float64, matching the shape contract
     of the reference pickles (lib/rpn_util.py:717-736).
+
+    Non-finite entries are excluded per column: the dvel target is -inf for
+    objects without a velocity (first frame of a track), and the reference
+    keeps separate counts for it (lib/rpn_util.py:633-655, 706-712).
     """
-    total = 0
+    total = np.zeros(n_targets, np.float64)
     s = np.zeros(n_targets, np.float64)
     sq = np.zeros(n_targets, np.float64)
     for rows in per_image_transforms_iter:
         if rows.shape[0] == 0:
             continue
         rows = np.asarray(rows, np.float64)
-        total += rows.shape[0]
+        ok = np.isfinite(rows)
+        rows = np.where(ok, rows, 0.0)
+        total += ok.sum(axis=0)
         s += rows.sum(axis=0)
         sq += (rows ** 2).sum(axis=0)
-    if total == 0:
+    if not total.any():
         return np.zeros((1, n_targets)), np.ones((1, n_targets))
-    means = s / total
-    var = np.maximum(sq / total - means ** 2, 1e-12)
-    return means[None, :], np.sqrt(var)[None, :]
+    cnt = np.maximum(total, 1.0)
+    means = s / cnt
+    var = np.maximum(sq / cnt - means ** 2, 1e-12)
+    stds = np.where(total > 1, np.sqrt(var), 1.0)
+    return means[None, :], stds[None, :]
 
 
 def cluster_anchors(gt_boxes_wh, n_anchors, iters=50, seed=0):

@@ -53,6 +53,17 @@ class ExperimentConfig:
     pretrained: Optional[str] = None
     copy_stats: bool = False
 
+    # freezing (reference scripts/train_rpn_3d.py:112-116, lib/core.py:578-
+    # 622). NOTE the reference's inverted naming, kept for config parity:
+    # freeze_blacklist is a TRAIN whitelist (everything NOT matching
+    # freezes, e.g. kitti_3d_full trains only ['pose', 'conf'] heads);
+    # freeze_whitelist freezes matching params. slow_bn is the torch BN
+    # momentum override (0.01 in the reference's usage; 0 = disabled).
+    freeze_blacklist: Optional[Sequence[str]] = None
+    freeze_whitelist: Optional[Sequence[str]] = None
+    freeze_bn: bool = False
+    slow_bn: float = 0.0
+
     # loss logic (groumd_nms.py:33-69)
     hard_negatives: bool = True
     focal_loss: float = 0.0
@@ -88,6 +99,9 @@ class ExperimentConfig:
     rank_with_class_confidence: bool = False
     decomp_alpha: bool = True
     score_thres: float = 0.6
+    # velocity regression for the video/kalman model (reference
+    # kitti_3d_full.py:43 has_vel=True; adds a bbox_3d channel + stats col 13)
+    has_vel: bool = False
 
     # rng
     rng_seed: int = 5
@@ -168,10 +182,13 @@ class ExperimentConfig:
     def backbone_config(self) -> DenseNetConfig:
         import jax.numpy as jnp
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        # torch momentum (batch weight) -> flax momentum (EMA decay)
+        bn_momentum = 1.0 - self.slow_bn if self.slow_bn else 0.9
         if self.backbone_tiny:
             from .models.densenet import tiny_densenet_config
-            return tiny_densenet_config(dtype)
-        return DenseNetConfig(dtype=dtype)
+            cfg = tiny_densenet_config(dtype)
+            return dataclasses.replace(cfg, bn_momentum=bn_momentum)
+        return DenseNetConfig(dtype=dtype, bn_momentum=bn_momentum)
 
     def rpn_config(self, num_anchors: int) -> RPNConfig:
         return RPNConfig(
@@ -181,6 +198,7 @@ class ExperimentConfig:
             predict_acceptance_prob=self.predict_acceptance_prob,
             acceptance_prob_mode=self.acceptance_prob_mode,
             predict_uncertainty=self.has_un,
+            predict_velocity=self.has_vel,
             backbone=self.backbone_config(),
         )
 
@@ -224,6 +242,7 @@ class ExperimentConfig:
             weigh_acceptance_prob_regularization=self.weigh_acceptance_prob_regularization,
             weigh_3D_regression_loss_by_gt_iou3d=self.weigh_3D_regression_loss_by_gt_iou3d,
             has_un=self.has_un,
+            has_vel=self.has_vel,
             bbox_un_lambda=self.bbox_un_lambda,
             bbox_un_dynamic=self.bbox_un_dynamic,
             max_nms_boxes=self.max_nms_boxes,

@@ -1,0 +1,160 @@
+"""Batched KITTI val inference + evaluation, callable from any entry point.
+
+Capability match for the reference's ``test_kitti_3d_old``
+(lib/rpn_util.py:1052-1356): run the model over the val split, write
+KITTI-format txt detections, run the C++ evaluator. Used both by
+scripts/test.py and by scripts/train.py at snapshot time (the reference
+evaluates at every snapshot, scripts/train_rpn_3d.py:162-189).
+
+TPU-first divergences from the reference loop: images of identical size are
+grouped into fixed-shape device batches (one XLA program per size instead of
+per-image host round trips), host JPEG/PNG decode runs in a thread pool, and
+device transfers are prefetched so IO hides behind compute.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+
+import numpy as np
+
+
+def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
+                  bbox_stds, imdb, results_dir, gt_dir=None, batch_size=None,
+                  log_fn=None, skip_eval=False, render=0):
+    """Run inference over ``imdb`` into ``results_dir``; evaluate if
+    ``gt_dir`` exists.
+
+    Returns the evaluator's AP dict (see ``evaluate_kitti_results_verbose``)
+    or None when evaluation was skipped. ``render`` > 0 saves qualitative
+    image+BEV figures for the first N val images (reference
+    test_rpn_3d.py:200-290) under ``results_dir``/vis.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.augment import preprocess_images
+    from ..data.pipeline import device_prefetch
+    from ..inference import (clip_detections, decode_detections, nms_and_topk,
+                             write_kitti_detections)
+    from ..parallel import batch_sharding, create_mesh
+    from .kitti_eval import evaluate_kitti_results_verbose
+
+    log_fn = log_fn or logging.getLogger(__name__).info
+    batch_size = batch_size or cfg.test_batch_size
+    os.makedirs(os.path.join(results_dir, "data"), exist_ok=True)
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    dcfg = cfg.detect_config()
+    means_img = jnp.asarray(cfg.image_means)
+    stds_img = jnp.asarray(cfg.image_stds)
+    rois_j, rois_3d_j = jnp.asarray(rois), jnp.asarray(rois_3d)
+    bbox_means_j = jnp.asarray(np.asarray(bbox_means, np.float32))
+    bbox_stds_j = jnp.asarray(np.asarray(bbox_stds, np.float32))
+
+    # multi-chip: shard the image batch over the mesh data axis; XLA
+    # replicates the params and keeps each image's pipeline chip-local
+    n_dev = len(jax.devices())
+    mesh = create_mesh() if n_dev > 1 else None
+    if mesh is not None and batch_size % n_dev != 0:
+        batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+        log_fn(f"batch rounded to {batch_size} for {n_dev} devices")
+
+    @jax.jit
+    def infer(images_u8, p2, p2_inv, scale):
+        images = preprocess_images(
+            images_u8, jnp.zeros((images_u8.shape[0],), bool), means_img,
+            stds_img, target_h=cfg.crop_size[0], crop_w=cfg.crop_size[1])
+        out = model.apply(variables, images, train=False)
+        outputs = {"prob": out.prob, "bbox_2d": out.bbox_2d,
+                   "bbox_3d": out.bbox_3d, "accept_prob": out.accept_prob,
+                   "uncertainty": out.uncertainty}
+        dets, scores = decode_detections(
+            outputs, rois_j, rois_3d_j, p2, p2_inv, scale, bbox_means_j,
+            bbox_stds_j, dcfg)
+        return nms_and_topk(dets, scores, dcfg)
+
+    # group same-sized images into device batches (one compile per size);
+    # decode images in a thread pool so host IO hides behind device compute
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+    by_size = defaultdict(list)
+    for rec in imdb:
+        by_size[(rec.im_h, rec.im_w)].append(rec)
+
+    def load_chunk(chunk, h0, w0):
+        imgs = np.zeros((batch_size, h0, w0, 3), np.uint8)
+        p2 = np.tile(np.eye(4, dtype=np.float32)[None], (batch_size, 1, 1))
+
+        def read(bi_rec):
+            bi, rec = bi_rec
+            with Image.open(rec.image_path) as im:
+                imgs[bi] = np.asarray(im.convert("RGB"), np.uint8)
+            p2[bi] = rec.p2
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(read, enumerate(chunk)))
+        return imgs, p2
+
+    def chunk_iter():
+        for (h0, w0), recs in by_size.items():
+            for i in range(0, len(recs), batch_size):
+                chunk = recs[i:i + batch_size]
+                imgs, p2 = load_chunk(chunk, h0, w0)
+                scale = np.full((batch_size,), cfg.crop_size[0] / h0,
+                                np.float32)
+                yield chunk, (jnp.asarray(imgs), jnp.asarray(p2),
+                              jnp.asarray(np.linalg.inv(p2)),
+                              jnp.asarray(scale))
+
+    if mesh is not None:
+        sharding = batch_sharding(mesh)
+        put = lambda t: jax.device_put(t, sharding)
+    else:
+        put = jax.device_put
+
+    t0 = time.time()
+    n_done = 0
+    n_rendered = 0
+    for chunk, (imgs_d, p2_d, p2i_d, scale_d) in device_prefetch(
+            chunk_iter(),
+            transform=lambda x: (x[0], tuple(put(t) for t in x[1]))):
+        n = len(chunk)
+        dets, valid = infer(imgs_d, p2_d, p2i_d, scale_d)
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        for bi, rec in enumerate(chunk):
+            d = dets[bi]
+            if cfg.clip_boxes:
+                d = clip_detections(d, rec.im_w, rec.im_h)
+            write_kitti_detections(
+                os.path.join(results_dir, "data", rec.id + ".txt"),
+                d, valid[bi], list(cfg.lbls), score_thres=cfg.score_thres)
+            if n_rendered < render:
+                from ..utils.vis import render_detections
+                vis_dir = os.path.join(results_dir, "vis")
+                os.makedirs(vis_dir, exist_ok=True)
+                with Image.open(rec.image_path) as im:
+                    img = np.asarray(im.convert("RGB"), np.uint8)
+                render_detections(
+                    img, d, valid[bi], rec.p2, list(cfg.lbls),
+                    score_thres=cfg.score_thres,
+                    out_path=os.path.join(vis_dir, rec.id + ".png"))
+                n_rendered += 1
+        n_done += n
+        if n_done % 500 < batch_size:
+            dt = (time.time() - t0) / max(n_done, 1)
+            log_fn(f"tested {n_done}/{len(imdb)}, "
+                   f"{1.0 / max(dt, 1e-9):.1f} img/s")
+
+    log_fn(f"inference done: {n_done / max(time.time() - t0, 1e-9):.1f} "
+           "img/s end-to-end")
+    if skip_eval or not gt_dir or not os.path.isdir(gt_dir):
+        return None
+    return evaluate_kitti_results_verbose(results_dir, gt_dir,
+                                          fast_eval=cfg.fast_eval,
+                                          log_fn=log_fn)

@@ -120,6 +120,13 @@ class LossConfig:
     use_acceptance_prob_in_regression_loss: bool = False
     weigh_acceptance_prob_regularization: bool = False
     weigh_3D_regression_loss_by_gt_iou3d: bool = False
+    # velocity regression (the kalman/video variant). The released
+    # reference computes dvel targets + stats (lib/rpn_util.py:633-655,
+    # 794-840) and decodes the channel at inference
+    # (..._un_kalman.py:207-212) but ships with the loss term disabled
+    # (lib/loss/rpn_3d.py:186 hardcodes has_vel=False); here the term is a
+    # working knob. Requires bbox_means/stds with 14 columns (col 13 = vel).
+    has_vel: bool = False
     # uncertainty (the `_un` variant / self-balancing scheme)
     has_un: bool = False
     bbox_un_lambda: float = 0.0
@@ -200,7 +207,8 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
             rois, rois_3d, g2, g3, gl, gv, i2, iv,
             fg_thresh=cfg.fg_thresh, ign_thresh=cfg.ign_thresh,
             bg_thresh_lo=cfg.bg_thresh_lo, bg_thresh_hi=cfg.bg_thresh_hi,
-            best_thresh=cfg.best_thresh, decomp_alpha=cfg.decomp_alpha)
+            best_thresh=cfg.best_thresh, decomp_alpha=cfg.decomp_alpha,
+            has_vel=cfg.has_vel)
     )(batch.gts_2d, batch.gts_3d, batch.gt_labels, batch.gt_valid,
       batch.ign_2d, batch.ign_valid)
 
@@ -209,7 +217,7 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
     label_int = jnp.where(fg, tgt.labels.astype(jnp.int32), 0)
 
     t2d_n = (tgt.transforms_2d - means[:4]) / stds[:4]
-    n3d = 9 if cfg.decomp_alpha else 7
+    n3d = (9 if cfg.decomp_alpha else 7) + (1 if cfg.has_vel else 0)
     t3d_n = (tgt.transforms_3d[..., :n3d] - means[4:4 + n3d]) / stds[4:4 + n3d]
 
     # ------------------------------------------------------------------
@@ -535,11 +543,27 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
             l_axis = l_head = None
         terms.append(l_ry)
 
+        if cfg.has_vel:
+            # dvel target is -inf for objects without a velocity (first
+            # frame of a track) and NaN on masked non-fg rows: compute the
+            # smooth-L1 on a sanitized target and average over the valid-vel
+            # fg subset only (the reference keeps a separate vel count,
+            # lib/rpn_util.py:633-655). Kept out of `terms` so no inf/NaN
+            # sentinel ever multiplies a differentiable tensor.
+            vel_tar = t3d_n[..., 9]
+            vel_ok = fg_sel & jnp.isfinite(vel_tar)
+            l_vel = _smooth_l1(bbox_3d[..., 10],
+                               jnp.where(vel_ok, vel_tar, 0.0))
+        else:
+            l_vel = vel_ok = None
+
         if cfg.weigh_3D_regression_loss_by_gt_iou3d:
             w_iou = jax.lax.stop_gradient(accept_tar)
             terms = [t * w_iou for t in terms]
             if l_axis is not None:
                 l_axis, l_head = l_axis * w_iou, l_head * w_iou
+            if l_vel is not None:
+                l_vel = l_vel * w_iou
 
         # self-balancing lambda from the un-weighted 3D loss magnitude
         if cfg.bbox_un_dynamic and accept_prob is not None:
@@ -564,10 +588,14 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
             if l_axis is not None:
                 l_axis = l_axis * accept_prob
                 l_head = l_head * accept_prob
+            if l_vel is not None:
+                l_vel = l_vel * accept_prob
             stats["conf"] = _masked_mean(
                 jax.lax.stop_gradient(accept_prob), fg_sel)
 
         loss_3d = sum(_masked_mean(t, fg_sel) for t in terms)
+        if l_vel is not None:
+            loss_3d = loss_3d + _masked_mean(l_vel, vel_ok)
         if l_axis is not None:
             loss_3d = loss_3d + (_masked_mean(l_axis, fg_sel) +
                                  _masked_mean(l_head, fg_sel)) * cfg.bbox_axis_head_lambda

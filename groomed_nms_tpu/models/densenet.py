@@ -44,6 +44,11 @@ class DenseNetConfig:
     # transition3 (index 2) keeps its 1x1 conv but loses the pool.
     transition_pool: Sequence[bool] = (True, True, False)
     dtype: jnp.dtype = jnp.float32       # compute dtype (bf16 for TPU speed)
+    # running-stats EMA decay, flax convention (new = m*old + (1-m)*batch).
+    # 0.9 == torch BatchNorm2d's default momentum=0.1, which the reference
+    # trains with; the slow_bn knob (lib/core.py:583-586 sets
+    # module.momentum, i.e. the *batch* weight) maps to 1 - slow_bn here.
+    bn_momentum: float = 0.9
     # NOTE: a dynamic-update-slice variant of the dense connectivity (write
     # growth channels into a preallocated block buffer instead of chaining
     # concats) measured 2.7x SLOWER on v5e (150.8 vs 55.8 ms/batch-8
@@ -74,16 +79,17 @@ class DenseLayer(nn.Module):
     bn_size: int
     dilation: int
     dtype: jnp.dtype
+    momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x, train: bool):
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="norm1")(x)
+                         momentum=self.momentum, name="norm1")(x)
         h = nn.relu(h)
         h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="norm2")(h)
+                         momentum=self.momentum, name="norm2")(h)
         h = nn.relu(h)
         d = self.dilation
         h = nn.Conv(self.growth_rate, (3, 3), padding=((d, d), (d, d)),
@@ -98,11 +104,12 @@ class Transition(nn.Module):
     out_features: int
     pool: bool
     dtype: jnp.dtype
+    momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x, train: bool):
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="norm")(x)
+                         momentum=self.momentum, name="norm")(x)
         h = nn.relu(h)
         # avg-pool BEFORE the bias-free 1x1 conv: mathematically identical
         # (linear ops commute) but quarters the conv work and output traffic
@@ -132,7 +139,7 @@ class DenseNetBackbone(nn.Module):
                     padding=((3, 3), (3, 3)), use_bias=False, dtype=cfg.dtype,
                     name="conv0")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=cfg.dtype,
-                         name="norm0")(x)
+                         momentum=cfg.bn_momentum, name="norm0")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -141,15 +148,16 @@ class DenseNetBackbone(nn.Module):
             for li in range(num_layers):
                 new = DenseLayer(
                     cfg.growth_rate, cfg.bn_size,
-                    cfg.block_dilations[bi], cfg.dtype,
+                    cfg.block_dilations[bi], cfg.dtype, cfg.bn_momentum,
                     name=f"denseblock{bi + 1}_layer{li + 1}")(x, train)
                 x = jnp.concatenate([x, new.astype(x.dtype)], axis=-1)
             features += num_layers * cfg.growth_rate
             if bi < len(cfg.block_layers) - 1:
                 features //= 2
                 x = Transition(features, cfg.transition_pool[bi], cfg.dtype,
+                               cfg.bn_momentum,
                                name=f"transition{bi + 1}")(x, train)
 
         x = nn.BatchNorm(use_running_average=not train, dtype=cfg.dtype,
-                         name="norm5")(x)
+                         momentum=cfg.bn_momentum, name="norm5")(x)
         return x

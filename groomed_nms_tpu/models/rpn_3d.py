@@ -21,7 +21,10 @@ Outputs (all [B, R, *] with R = H*W*A):
   cls     raw class logits            [B, R, num_classes]
   prob    softmax probabilities       [B, R, num_classes]
   bbox_2d [dx, dy, dw, dh]            [B, R, 4]
-  bbox_3d [x, y, z, w, h, l, rsin, rcos, axis(sig), head(sig)] [B, R, 10]
+  bbox_3d [x, y, z, w, h, l, rsin, rcos, axis(sig), head(sig), (vel)]
+          [B, R, 10 (+1)] -- the vel channel exists when predict_velocity
+          (the kalman variant's 20th channel, reference
+          ..._un_kalman.py:207-212)
   accept_prob  sigmoid acceptance     [B, R] or None
   accept_cls   ordinal-classify path  [B, R, bins-1] or None
   uncertainty  sigmoid confidence     [B, R] or None (the ``_un`` variant's
@@ -64,11 +67,18 @@ class RPNConfig:
     acceptance_prob_num_channels: int = 128
     # self-balancing uncertainty head (the ``_un`` model variant)
     predict_uncertainty: bool = False
+    # per-object velocity regression channel (the kalman/video variant;
+    # reference ..._un_kalman.py:207 keys on bbox_3d.shape[2] == 20)
+    predict_velocity: bool = False
     backbone: DenseNetConfig = field(default_factory=DenseNetConfig)
 
     @property
     def dtype(self):
         return self.backbone.dtype
+
+    @property
+    def n_box3d(self) -> int:
+        return _N_BOX3D + (1 if self.predict_velocity else 0)
 
     @property
     def accept_channels(self) -> int:
@@ -103,21 +113,24 @@ class RPN3D(nn.Module):
         r = fh * fw * a
 
         # one matmul for every per-anchor output channel
-        per_anchor = c + _N_BOX2D + _N_BOX3D + (1 if cfg.predict_uncertainty else 0)
+        n3d = cfg.n_box3d
+        per_anchor = c + _N_BOX2D + n3d + (1 if cfg.predict_uncertainty else 0)
         fused = nn.Conv(a * per_anchor, (1, 1), dtype=cfg.dtype,
                         name="head")(h)
         fused = fused.reshape(b, r, per_anchor).astype(jnp.float32)
 
         cls = fused[..., :c]
         bbox_2d = fused[..., c:c + _N_BOX2D]
-        bbox_3d = fused[..., c + _N_BOX2D:c + _N_BOX2D + _N_BOX3D]
-        # axis/head channels pass through a sigmoid (reference ...alpha.py:162-163)
+        bbox_3d = fused[..., c + _N_BOX2D:c + _N_BOX2D + n3d]
+        # axis/head channels pass through a sigmoid (reference ...alpha.py:
+        # 162-163); the optional vel channel (10) stays linear
         bbox_3d = jnp.concatenate(
-            [bbox_3d[..., :8], nn.sigmoid(bbox_3d[..., 8:10])], axis=-1)
+            [bbox_3d[..., :8], nn.sigmoid(bbox_3d[..., 8:10]),
+             bbox_3d[..., 10:]], axis=-1)
 
         uncertainty = None
         if cfg.predict_uncertainty:
-            uncertainty = nn.sigmoid(fused[..., c + _N_BOX2D + _N_BOX3D])
+            uncertainty = nn.sigmoid(fused[..., c + _N_BOX2D + n3d])
 
         prob = nn.softmax(cls, axis=-1)
 

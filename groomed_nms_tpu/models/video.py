@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.boxes import bbox_transform_inv
 from ..ops.geometry import alpha_to_rot_y, snap_to_pi
-from ..ops.iou import pairwise_iou
+from ..ops.nms import greedy_nms
 from .densenet import DenseNetBackbone
 from .kalman import MEAS_COLS, PoseNet, Tracks, track_step
 from .rpn_3d import RPN3D, RPNConfig
@@ -93,6 +93,16 @@ def extract_measurements(outputs, rois, rois_3d, p2, p2_inv, scale,
 
     stat_idx = jnp.array([4, 5, 6, 7, 8, 9, 11, 12])
     dn = outputs.bbox_3d[..., :8] * stds[stat_idx] + means[stat_idx]
+    # velocity channel (reference ..._un_kalman.py:207-212): denormalise by
+    # stats col 13, add the anchor's velocity prior (rois_3d col 7), clamp >=0
+    has_vel = outputs.bbox_3d.shape[-1] >= 11 and rois_3d.shape[-1] >= 8 \
+        and stds.shape[0] >= 14
+    if has_vel:
+        vel = jnp.maximum(
+            rois_3d[:, 7] + outputs.bbox_3d[..., 10] * stds[13] + means[13],
+            0.0)
+    else:
+        vel = jnp.zeros_like(outputs.bbox_3d[..., 0])
     x2d = (dn[..., 0] * widths + ctr_x) / scale[:, None]
     y2d = (dn[..., 1] * heights + ctr_y) / scale[:, None]
     z2d = rois_3d[:, 0] + dn[..., 2]
@@ -122,33 +132,28 @@ def extract_measurements(outputs, rois, rois_3d, p2, p2_inv, scale,
         jnp.ones_like(scores)
     fg = scores >= cfg.score_thres
 
-    def per_image(coords, sc, fg_img, cl, x, y, z, w3, h3, l3, ry, hd, u):
+    def per_image(coords, sc, fg_img, cl, x, y, z, w3, h3, l3, ry, hd, u,
+                  vl):
         m = cfg.max_measurements
         key = jnp.where(fg_img, sc, -jnp.inf)
         vals, idx = jax.lax.top_k(key, m)
         valid = vals > -jnp.inf
         boxes = coords[idx]
-        # greedy NMS sweep over the thresholded set
-        iou_mat = pairwise_iou(boxes, boxes, shift=1.0)
-        n = m
-
-        def body(i, alive):
-            suppress = alive[i] & (iou_mat[i] > cfg.nms_thres) & \
-                (jnp.arange(n) > i)
-            return alive & ~suppress
-
-        alive = jax.lax.fori_loop(0, n, body, valid)
+        # idx is already score-descending, so greedy_nms's internal sort is
+        # stable here; one shared suppression implementation (ops/nms.py)
+        alive = greedy_nms(boxes, vals, valid,
+                           nms_threshold=cfg.nms_thres, shift=1.0)
         meas = jnp.stack([
             boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3],
             sc[idx], cl[idx],
             x[idx], y[idx], z[idx], w3[idx], h3[idx], l3[idx],
             snap_to_pi(ry[idx]), hd[idx], u[idx],
-            jnp.zeros((m,)),                       # vel slot
+            vl[idx],
         ], axis=-1)
         return meas, alive
 
     return jax.vmap(per_image)(coords_2d, scores, fg, cls_pred, x3d, y3d,
-                               z3d, w3d, h3d, l3d, ry3d, head, un)
+                               z3d, w3d, h3d, l3d, ry3d, head, un, vel)
 
 
 def video_track(meas_frames, valid_frames, poses_dn, p2, cfg: VideoConfig,

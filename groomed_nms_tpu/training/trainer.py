@@ -80,11 +80,18 @@ def create_train_state(model, images_shape, tx, rng=None, train=True):
 
 
 def make_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
-                    bbox_stds, train_bn=True):
+                    bbox_stds, train_bn=True, frozen_stats_mask=None):
     """Build the (state, batch) -> (state, metrics) step function.
 
     ``batch`` is a dict with 'images' [B, H, W, 3] plus the GTBatch fields
     (see :class:`~groomed_nms_tpu.losses.rpn_3d.GTBatch`).
+
+    ``frozen_stats_mask`` (a pytree of Python bools shaped like batch_stats,
+    from :func:`~groomed_nms_tpu.training.freeze.frozen_stats_mask`) pins the
+    marked BN running statistics -- the reference's per-module
+    ``module.eval()`` freezing (lib/core.py:600-621). When EVERY leaf is
+    frozen, pass ``train_bn=False`` instead: that also normalizes by the
+    running stats in the forward pass, the exact eval-mode semantics.
     """
     from ..losses.rpn_3d import GTBatch
 
@@ -102,6 +109,10 @@ def make_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
                     variables, batch["images"], train=True,
                     mutable=["batch_stats"])
                 new_bs = mutated["batch_stats"]
+                if frozen_stats_mask is not None:
+                    new_bs = jax.tree_util.tree_map(
+                        lambda frozen, old, new: old if frozen else new,
+                        frozen_stats_mask, state.batch_stats, new_bs)
             else:
                 out = state.apply_fn(variables, batch["images"], train=False)
                 new_bs = state.batch_stats
@@ -117,6 +128,70 @@ def make_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
         (loss, (stats, new_un, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_state=new_opt, un_state=new_un)
+        return new_state, stats
+
+    return train_step
+
+
+def make_video_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
+                          bbox_stds, train_bn=True, frozen_stats_mask=None):
+    """Train step for :class:`~groomed_nms_tpu.models.video.VideoRPN3D`.
+
+    ``batch['images']`` is a clip [B, F, H, W, 3] (frame F-1 = current); the
+    GTBatch fields label the CURRENT frame, whose ``gts_3d`` rows may carry
+    the velocity column 16 for the has_vel loss term. Matches the
+    reference's video training, which runs the detection loss on the current
+    frame only (train_rpn_3d.py:131-141 with the kalman model; the pose head
+    is trained by scripts/train_pose.py as in the reference's train_pose).
+    """
+    from ..losses.rpn_3d import GTBatch
+
+    def train_step(state: TrainState, batch):
+        gt = GTBatch(
+            gts_2d=batch["gts_2d"], gts_3d=batch["gts_3d"],
+            gt_labels=batch["gt_labels"], gt_valid=batch["gt_valid"],
+            ign_2d=batch["ign_2d"], ign_valid=batch["ign_valid"],
+            p2=batch["p2"], scale=batch["scale"])
+        b, f = batch["images"].shape[:2]
+
+        def last_frame(x):
+            return None if x is None else \
+                x.reshape(b, f, *x.shape[1:])[:, -1]
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if train_bn:
+                out, mutated = state.apply_fn(
+                    variables, batch["images"], train=True,
+                    mutable=["batch_stats"])
+                new_bs = mutated["batch_stats"]
+                if frozen_stats_mask is not None:
+                    new_bs = jax.tree_util.tree_map(
+                        lambda frozen, old, new: old if frozen else new,
+                        frozen_stats_mask, state.batch_stats, new_bs)
+            else:
+                out = state.apply_fn(variables, batch["images"], train=False)
+                new_bs = state.batch_stats
+            fo = out.frame_outputs  # leading dim B*F
+            outputs = {"cls": last_frame(fo.cls),
+                       "prob": last_frame(fo.prob),
+                       "bbox_2d": last_frame(fo.bbox_2d),
+                       "bbox_3d": last_frame(fo.bbox_3d),
+                       "accept_prob": last_frame(fo.accept_prob),
+                       "uncertainty": last_frame(fo.uncertainty)}
+            loss, stats, new_un = rpn_3d_loss(
+                outputs, rois, rois_3d, gt, bbox_means, bbox_stds,
+                state.un_state, loss_cfg)
+            return loss, (stats, new_un, new_bs)
+
+        (loss, (stats, new_un, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -99,9 +99,34 @@ def main():
         state = state.replace(step=jnp.zeros((), jnp.int32))
         log.info("warm-started from %s", cfg.pretrained)
 
+    # freezing (reference train_rpn_3d.py:112-116 applies freeze_layers /
+    # slow_bn / freeze_bn from config; here it's an optax mask + BN-stat
+    # pinning, built once -- functional state needs no per-loop re-freeze)
+    frozen_mask = None
+    train_bn = True
+    if cfg.freeze_blacklist or cfg.freeze_whitelist or cfg.freeze_bn:
+        from groomed_nms_tpu.training.freeze import (
+            all_stats_frozen, build_freeze_labels, frozen_stats_mask,
+            wrap_with_freeze)
+        labels = build_freeze_labels(state.params, cfg.freeze_blacklist,
+                                     cfg.freeze_whitelist, cfg.freeze_bn)
+        n_frozen = sum(str(l) == "freeze"
+                       for l in jax.tree_util.tree_leaves(labels))
+        log.info("freezing %d/%d param tensors", n_frozen,
+                 len(jax.tree_util.tree_leaves(labels)))
+        tx = wrap_with_freeze(tx, labels)
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        frozen_mask = frozen_stats_mask(state.batch_stats,
+                                        cfg.freeze_blacklist,
+                                        cfg.freeze_whitelist, cfg.freeze_bn)
+        # every BN module frozen -> run BN fully in eval mode, the exact
+        # reference semantics (module.eval() normalizes by running stats)
+        train_bn = not all_stats_frozen(frozen_mask)
+
     step_fn = make_train_step(cfg.loss_config(), jnp.asarray(rois),
                               jnp.asarray(rois_3d), means.astype(np.float32),
-                              stds.astype(np.float32))
+                              stds.astype(np.float32), train_bn=train_bn,
+                              frozen_stats_mask=frozen_mask)
     mesh = create_mesh()
     sharded_step = shard_train_step(step_fn, mesh)
     loader = TrainLoader(imdb, cfg, seed=cfg.rng_seed)
@@ -120,6 +145,26 @@ def main():
             crop_w=cfg.crop_size[1])
         return shard_batch(mesh, dict(images=images, **hb["gt"]._asdict()))
 
+    # snapshot-time evaluation (reference train_rpn_3d.py:162-189 writes txt
+    # + runs the evaluator at every snapshot when conf.do_test)
+    val_imdb = None
+
+    def snapshot_eval(iteration):
+        nonlocal val_imdb
+        from groomed_nms_tpu.eval.tester import test_kitti_3d
+        val_root = os.path.join(args.data_root, cfg.dataset_test)
+        if val_imdb is None:
+            val_imdb = build_imdb(val_root, "validation",
+                                  use_3d_for_2d=cfg.use_3d_for_2d,
+                                  cache_file=None, im_ext=cfg.im_ext)
+            log.info("val imdb: %d images", len(val_imdb))
+        results_dir = os.path.join(out_dir, "results",
+                                   f"results_{iteration}")
+        test_kitti_3d(cfg, model, state.params, state.batch_stats, rois,
+                      rois_3d, means, stds, val_imdb, results_dir,
+                      gt_dir=os.path.join(val_root, "validation", "label_2"),
+                      log_fn=log.info)
+
     with mesh:
         start = int(state.step)
         batches = device_prefetch(loader, transform=to_device_batch)
@@ -135,6 +180,8 @@ def main():
             if (it + 1) % cfg.snapshot_iter == 0 or (it + 1) == cfg.max_iter:
                 path = save_checkpoint(out_dir, state)
                 log.info("checkpoint -> %s", path)
+                if cfg.do_test:
+                    snapshot_eval(it + 1)
 
     log.info("training done at iter %d", int(state.step))
 

@@ -75,6 +75,16 @@ def test_train_then_test_scripts(tmp_path):
     weights = out_root / "tiny_synthetic" / "weights"
     assert weights.is_dir() and any(weights.iterdir()), \
         "no checkpoints written"
+    # snapshot-time eval (do_test): training itself must have produced val
+    # detections + evaluator stats (reference train_rpn_3d.py:162-189)
+    snap_results = out_root / "tiny_synthetic" / "results" / "results_4"
+    snap_txts = list((snap_results / "data").glob("*.txt"))
+    assert len(snap_txts) == 4, "snapshot eval must write per-image txt"
+    # evaluator stats appear whenever any class had detections; with an
+    # untrained net all-empty txts are the only legitimate absence
+    if any(t.stat().st_size for t in snap_txts):
+        assert list(snap_results.glob("stats_*")), \
+            "snapshot eval must run the evaluator"
 
     test = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "test.py"),

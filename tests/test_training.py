@@ -167,3 +167,106 @@ def test_checkpoint_roundtrip(tmp_path, train_setup):
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_freeze_wiring_end_to_end(train_setup):
+    """Frozen params stay bit-identical through real train steps; frozen BN
+    running stats stay pinned (reference freeze_layers semantics:
+    freeze_blacklist is a train-whitelist, lib/core.py:588-609)."""
+    from groomed_nms_tpu.training import build_lr_schedule, build_optimizer, \
+        create_train_state, make_train_step
+    from groomed_nms_tpu.training.freeze import (all_stats_frozen,
+                                                 build_freeze_labels,
+                                                 frozen_stats_mask,
+                                                 wrap_with_freeze)
+    from groomed_nms_tpu.losses import LossConfig
+
+    model = train_setup["model"]
+    rois, rois_3d = train_setup["rois"], train_setup["rois_3d"]
+    sched = build_lr_schedule(0.01, max_iter=100)
+    tx = build_optimizer("sgd", sched, batch_skip=1)
+    state = create_train_state(model, (1, 64, 128, 3), tx)
+
+    # train only the detection heads, like kitti_3d_full trains only
+    # ['pose', 'conf'] (scripts/config/kitti_3d_full.py:37)
+    blacklist = ("head", "accept")
+    labels = build_freeze_labels(state.params, freeze_blacklist=blacklist)
+    ftx = wrap_with_freeze(tx, labels)
+    state = state.replace(tx=ftx, opt_state=ftx.init(state.params))
+    mask = frozen_stats_mask(state.batch_stats, freeze_blacklist=blacklist)
+    # the heads have no BN, so every stats leaf freezes -> full eval-mode BN
+    assert all_stats_frozen(mask)
+
+    lcfg = LossConfig(max_nms_boxes=32, max_ap_boxes=64)
+    step = jax.jit(make_train_step(
+        lcfg, jnp.asarray(rois), jnp.asarray(rois_3d),
+        np.zeros(13, np.float32), np.ones(13, np.float32), train_bn=False,
+        frozen_stats_mask=mask))
+
+    flat0 = jax.tree_util.tree_map(np.asarray, state.params)
+    bs0 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    for _ in range(3):
+        state, _ = step(state, train_setup["batch"])
+
+    paths0 = jax.tree_util.tree_flatten_with_path(flat0)[0]
+    paths1 = jax.tree_util.tree_flatten_with_path(
+        jax.tree_util.tree_map(np.asarray, state.params))[0]
+    n_frozen = n_train = 0
+    for (path, before), (_, after) in zip(paths0, paths1):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if any(s in name for s in blacklist):
+            # (not every head leaf moves: e.g. the accept head gets no
+            # gradient when the acceptance-prob loss is off)
+            n_train += not np.array_equal(before, after)
+        else:
+            assert np.array_equal(before, after), f"{name} must stay frozen"
+            n_frozen += 1
+    assert n_train > 0 and n_frozen > 0
+
+    for (path, before), after in zip(
+            jax.tree_util.tree_flatten_with_path(bs0)[0],
+            jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+                np.asarray, state.batch_stats))):
+        assert np.array_equal(before, after), "BN stats must stay pinned"
+
+
+def test_partial_bn_stats_freeze(train_setup):
+    """With a partial freeze, only the masked BN statistics stay pinned."""
+    from groomed_nms_tpu.training import build_lr_schedule, build_optimizer, \
+        create_train_state, make_train_step
+    from groomed_nms_tpu.training.freeze import (all_stats_frozen,
+                                                 frozen_stats_mask)
+    from groomed_nms_tpu.losses import LossConfig
+
+    model = train_setup["model"]
+    rois, rois_3d = train_setup["rois"], train_setup["rois_3d"]
+    sched = build_lr_schedule(0.01, max_iter=100)
+    tx = build_optimizer("sgd", sched, batch_skip=1)
+    state = create_train_state(model, (1, 64, 128, 3), tx)
+
+    # freeze only denseblock1's BN modules (reference freeze_whitelist mode)
+    mask = frozen_stats_mask(state.batch_stats,
+                             freeze_whitelist=("denseblock1",))
+    assert not all_stats_frozen(mask)
+    lcfg = LossConfig(max_nms_boxes=32, max_ap_boxes=64)
+    step = jax.jit(make_train_step(
+        lcfg, jnp.asarray(rois), jnp.asarray(rois_3d),
+        np.zeros(13, np.float32), np.ones(13, np.float32), train_bn=True,
+        frozen_stats_mask=mask))
+
+    bs0 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    for _ in range(2):
+        state, _ = step(state, train_setup["batch"])
+
+    changed = pinned = 0
+    for (path, before), after in zip(
+            jax.tree_util.tree_flatten_with_path(bs0)[0],
+            jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+                np.asarray, state.batch_stats))):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "denseblock1" in name:
+            assert np.array_equal(before, after), name
+            pinned += 1
+        elif not np.array_equal(before, after):
+            changed += 1
+    assert pinned > 0 and changed > 0

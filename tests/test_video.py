@@ -120,3 +120,109 @@ def test_assemble_video_variables(video_setup):
     # the assembled tree runs
     out = model.apply(variables, video_setup["images"], train=False)
     assert np.isfinite(np.asarray(out.poses)).all()
+
+
+def test_video_train_step_has_vel():
+    """kitti_3d_full-style training: VideoRPN3D + has_vel loss on synthetic
+    clips trains end-to-end; the vel loss moves the vel channel and invalid
+    (-inf) velocity targets poison nothing."""
+    from groomed_nms_tpu.losses import LossConfig
+    from groomed_nms_tpu.training import (build_lr_schedule, build_optimizer,
+                                          create_train_state,
+                                          make_video_train_step)
+
+    rng = np.random.default_rng(1)
+    a = 4
+    rpn_cfg = RPNConfig(num_classes=4, num_anchors=a, prop_features=32,
+                        predict_uncertainty=True, predict_velocity=True,
+                        backbone=tiny_densenet_config())
+    cfg = VideoConfig(rpn=rpn_cfg, max_measurements=16, max_tracks=32)
+    model = VideoRPN3D(cfg)
+    b, f, h, w = 2, 2, 32, 64
+    fh, fw = h // 16, w // 16
+
+    # anchors with a velocity prior column (z w h l rot sin cos vel)
+    priors = np.abs(rng.normal(size=(a, 12))).astype(np.float32) + 1.0
+    priors[:, 2:] += np.array([10.0, 10.0] + [0.0] * 8, np.float32)[None]
+    priors[:, :2] = np.array([[0, 0]], np.float32)
+    priors[:, 2] = 24.0
+    priors[:, 3] = 24.0
+    priors[:, 4] = 20.0
+    rois = np.asarray(locate_anchors(priors, (fh, fw), 16))
+    rois_3d = priors[rois[:, 4].astype(np.int64), 4:]
+    assert rois_3d.shape[1] == 8
+
+    g = 3
+    gts_2d = np.zeros((b, g, 4), np.float32)
+    gts_3d = np.zeros((b, g, 17), np.float32)   # velocity column 16
+    gt_valid = np.zeros((b, g), bool)
+    for bi in range(b):
+        for gi in range(2):
+            x1, y1 = rng.uniform(0, 30), rng.uniform(0, 10)
+            bw, bh = rng.uniform(15, 30), rng.uniform(12, 20)
+            gts_2d[bi, gi] = [x1, y1, x1 + bw, y1 + bh]
+            gts_3d[bi, gi, :16] = [
+                x1 + bw / 2, y1 + bh / 2, 20.0, 1.6, 1.5, 3.9, 0.2, 1.0,
+                1.5, 20.0, 0.3, 0.1, 0.2, -0.9, 0, 0]
+            # one GT per image has no velocity (first frame of its track)
+            gts_3d[bi, gi, 16] = rng.uniform(0, 3) if gi == 0 else -np.inf
+            gt_valid[bi, gi] = True
+    p2 = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+    p2[:, 0, 0] = 700.0
+    p2[:, 1, 1] = 700.0
+    batch = {
+        "images": rng.normal(size=(b, f, h, w, 3)).astype(np.float32),
+        "gts_2d": gts_2d, "gts_3d": gts_3d,
+        "gt_labels": np.ones((b, g), np.float32), "gt_valid": gt_valid,
+        "ign_2d": np.zeros((b, 1, 4), np.float32),
+        "ign_valid": np.zeros((b, 1), bool),
+        "p2": p2, "scale": np.ones((b,), np.float32),
+    }
+
+    lcfg = LossConfig(has_vel=True, has_un=True, bbox_un_dynamic=True,
+                      max_nms_boxes=32, max_ap_boxes=64)
+    tx = build_optimizer("sgd", build_lr_schedule(0.01, 100), batch_skip=1)
+    state = create_train_state(model, (1, f, h, w, 3), tx)
+    # 14-col stats: col 13 normalises the dvel target
+    step = jax.jit(make_video_train_step(
+        lcfg, jnp.asarray(rois), jnp.asarray(rois_3d),
+        np.zeros(14, np.float32), np.ones(14, np.float32)))
+
+    vel_kernel_before = np.asarray(jax.tree_util.tree_leaves(
+        state.params["rpn"]["head"])[1]).copy()
+    losses = []
+    for _ in range(3):
+        state, stats = step(state, batch)
+        losses.append(float(stats["total"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    # params must be NaN-free (the -inf dvel rows are masked out safely)
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    vel_kernel_after = np.asarray(jax.tree_util.tree_leaves(
+        state.params["rpn"]["head"])[1])
+    assert not np.array_equal(vel_kernel_before, vel_kernel_after)
+
+    # tracker-consumable outputs: decode the current frame's measurements
+    # (velocity channel included) and run the tracker over the clip
+    out = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats},
+                      jnp.asarray(batch["images"]), train=False)
+    fo = out.frame_outputs
+    p2f = np.tile(np.eye(4, dtype=np.float32)[None], (b * f, 1, 1))
+    p2f[:, 0, 0] = 700.0
+    p2f[:, 1, 1] = 700.0
+    cfg_low = VideoConfig(rpn=rpn_cfg, max_measurements=16, max_tracks=32,
+                          score_thres=0.0)
+    meas, valid = extract_measurements(
+        fo, jnp.asarray(rois), jnp.asarray(rois_3d), jnp.asarray(p2f),
+        jnp.asarray(np.linalg.inv(p2f)), jnp.ones((b * f,)),
+        np.zeros(14, np.float32), np.ones(14, np.float32), cfg_low)
+    assert np.isfinite(np.asarray(meas)).all()
+    # velocity column populated and clamped >= 0
+    assert (np.asarray(meas)[..., 15] >= 0).all()
+    assert (np.asarray(meas)[..., 15] > 0).any()
+    final, snaps = video_track(meas.reshape(b, f, 16, 16)[0],
+                               valid.reshape(b, f, 16)[0],
+                               jnp.zeros((f, 6)), jnp.asarray(p2f[0]),
+                               cfg_low)
+    assert snaps.valid.shape == (f, 32)
