@@ -203,10 +203,19 @@ class TrainLoader:
 
     def _worker(self):
         while True:
-            self._q.put(self._make_batch())
+            try:
+                item = self._make_batch()
+            except BaseException as e:  # propagate through the queue: a
+                # silently-dead daemon thread would hang __next__ forever
+                self._q.put(("error", e))
+                return
+            self._q.put(("batch", item))
 
     def __next__(self):
-        return self._q.get()
+        kind, item = self._q.get()
+        if kind == "error":
+            raise RuntimeError("TrainLoader worker failed") from item
+        return item
 
     def __iter__(self):
         return self

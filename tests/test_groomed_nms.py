@@ -142,38 +142,62 @@ def test_unmasked_group_matches_blockwise_inverse(rng):
     np.testing.assert_allclose(res.rescored, expect, atol=1e-4)
 
 
-def test_keep_set_matches_classical_nms_on_disjointish_boxes(rng):
-    """On well-separated boxes, GrooMeD keep-set == greedy NMS keep-set.
+def test_keep_set_matches_classical_nms_exactly(rng):
+    """Exact keep-set equality: GrooMeD == greedy NMS == soft-NMS(hard).
 
-    Mirrors the reference's cross-check of differentiable_nms vs gpu_nms /
-    girshick_nms (test/test_differentiable_nms_forward.py:83-122).
+    The reference cross-checks differentiable_nms against gpu_nms,
+    girshick_nms and navneeth_soft_nms on the same boxes
+    (test/test_differentiable_nms_forward.py:83-122). GrooMeD's keep rule
+    (rescored >= 0.3 with linear pruning) provably coincides with classical
+    suppression whenever overlaps are polarized -- every pair is either
+    clearly suppressing (IoU high enough that score*(1-IoU) < 0.3) or
+    clearly disjoint (IoU <= threshold) -- so clustered boxes give an exact
+    cross-oracle regime over random scores/cluster structure.
     """
-    for seed in range(5):
+    from groomed_nms_tpu.ops.nms import soft_nms
+
+    for seed in range(8):
         r = np.random.default_rng(seed)
-        n = 40
-        w = r.uniform(1, 10, n).astype(np.float32)
-        boxes = np.zeros((n, 4), np.float32)
-        boxes[:, 2] = w
-        boxes[:, 3] = w
+        n_clusters = int(r.integers(2, 7))
+        boxes_list, cluster_of = [], []
+        for ci in range(n_clusters):
+            cx, cy = 200.0 * ci, 150.0 * (ci % 2)
+            size = float(r.uniform(30, 60))
+            for _ in range(int(r.integers(1, 6))):
+                jx, jy = r.uniform(-1, 1), r.uniform(-1, 1)
+                boxes_list.append([cx + jx, cy + jy,
+                                   cx + size + jx, cy + size + jy])
+                cluster_of.append(ci)
+        boxes = np.asarray(boxes_list, np.float32)
+        n = boxes.shape[0]
         scores = r.uniform(0.4, 1.0, n).astype(np.float32)
-        # IoU with no shift, as the reference's in-loss path uses core.iou
-        iou = np.asarray(pairwise_iou(boxes, boxes, shift=0.0))
-        res = differentiable_nms(scores, iou, nms_threshold=0.4,
-                                 valid_box_prob_threshold=0.3)
-        # classical oracle with the same (shift-free) overlap convention
+        iou = np.asarray(pairwise_iou(boxes, boxes, shift=1.0))
+        # the regime premise: polarized overlaps. IoU > 0.72 guarantees
+        # suppression under linear pruning (score <= 1.0 -> rescored
+        # <= 0.28 < 0.3); IoU <= 0.4 guarantees independence.
+        off = iou[~np.eye(n, dtype=bool)]
+        assert ((off <= 0.4) | (off > 0.72)).all()
+
         dets = np.hstack([boxes, scores[:, None]])
-        keep_classical = greedy_nms_numpy(dets, 0.4, shift=0.0)
-        # GrooMeD keeps a superset-ish set: every classically-kept box whose
-        # score stays above threshold must be kept by GrooMeD.  For boxes with
-        # a single dominating leader this is exact; we check the golden
-        # property the reference asserts: leaders survive, dominated boxes
-        # with rescore < 0.3 die.
-        kept = set(np.flatnonzero(np.asarray(res.keep)))
-        for i in keep_classical:
-            # a classically-kept box is its own leader here unless it was
-            # capped into a group led by an overlapping-but-not-suppressing box
-            if res.leader[i] == i:
-                assert i in kept
+        keep_greedy = set(greedy_nms_numpy(dets, 0.4, shift=1.0).tolist())
+        _, keep_soft = soft_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                nms_threshold=0.4, method="hard",
+                                score_threshold=0.3, shift=1.0)
+        keep_soft = set(np.flatnonzero(np.asarray(keep_soft)).tolist())
+
+        for grouped, masked in ((True, True), (True, False), (False, False)):
+            res = differentiable_nms(
+                scores, iou, nms_threshold=0.4,
+                valid_box_prob_threshold=0.3, pruning_method="linear",
+                group_boxes=grouped, mask_group_boxes=masked)
+            kept = set(np.flatnonzero(np.asarray(res.keep)).tolist())
+            assert kept == keep_greedy == keep_soft, (
+                seed, grouped, masked, kept, keep_greedy, keep_soft)
+        # structural check: exactly the top-scored box of each cluster
+        expect = {int(max(np.flatnonzero(np.array(cluster_of) == ci),
+                          key=lambda i: scores[i]))
+                  for ci in range(n_clusters)}
+        assert keep_greedy == expect
 
 
 def test_valid_mask_padding_equivalence(rng):

@@ -155,3 +155,17 @@ def test_anchor_scales_formula():
     assert len(scales) == 12
     np.testing.assert_allclose(scales[0], 512 * 0.0625)
     np.testing.assert_allclose(scales[-1], 512 * 0.75)
+
+
+def test_loader_worker_error_propagates(mini_kitti):
+    """A poisoned record raises in __next__ instead of hanging forever."""
+    from groomed_nms_tpu.data.pipeline import TrainLoader
+
+    cfg = _tiny_cfg()
+    imdb = build_imdb(mini_kitti, "training")
+    import dataclasses
+    bad = [dataclasses.replace(rec, image_path="/nonexistent/missing.png")
+           for rec in imdb]
+    loader = TrainLoader(bad, cfg, seed=0)
+    with pytest.raises(RuntimeError, match="TrainLoader worker failed"):
+        next(loader)
