@@ -1,0 +1,141 @@
+"""AP vs GrooMeD-NMS group size -- the paper's headline ablation figure.
+
+Capability match for the reference's plot_sensitivity_to_group_size.py
+(plot/plot_sensitivity_to_group_size.py:15-75): twin-axis plot of AP3D/APBEV
+at IoU 0.7 (left axis) and IoU 0.5 (right axis) against group size on a log
+x scale.
+
+Two data sources:
+  * ``--results DIR ...`` with matching ``--group-sizes N ...``: parse each
+    evaluated results directory (as produced by configs/ablations.py's
+    ``group_size`` factory + scripts/test.py) -- IoU 0.7 APs from the
+    ``stats_car_*`` main pass, IoU 0.5 from the side pass written with
+    ``--overlap 0.5`` (re-run via --gt if missing);
+  * ``--paper``: the published table from the reference script, for
+    reproducing the figure without retraining.
+
+Usage:
+  python analysis/plot_group_size_sensitivity.py --paper --out fig.png
+  python analysis/plot_group_size_sensitivity.py \
+      --results out/gs50/results/results_50000 out/gs100/... \
+      --group-sizes 50 100 --gt data/kitti_split1/validation/label_2
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+import numpy as np
+
+# reference plot/plot_sensitivity_to_group_size.py:15-20: rows = group sizes
+# (50, 100, 200, 500); cols = [3D, BEV] x [easy, mod, hard] at IoU 0.7 then
+# the same six at IoU 0.5.
+PAPER_DATA = np.array([
+    [18.9, 14.08, 11.01, 27.15, 19.69, 15.96,
+     55.71, 41.11, 32.76, 61.94, 44.93, 36.22],
+    [19.67, 14.32, 11.27, 27.38, 19.75, 15.92,
+     55.62, 41.07, 32.89, 61.83, 44.98, 36.29],
+    [18.5, 13.89, 11.05, 26.4, 19.27, 15.64,
+     54.5, 40.48, 32.42, 60.67, 44.25, 35.71],
+    [17.97, 13.57, 10.85, 27.97, 20.43, 16.05,
+     57.11, 41.37, 33.17, 61.62, 46.14, 36.25],
+])
+PAPER_GROUP_SIZES = np.array([50, 100, 200, 500])
+
+
+def _collect_from_results(results_dirs, gt_dir):
+    """[len(dirs), 12] rows in the PAPER_DATA column layout (R40 APs)."""
+    from groomed_nms_tpu.eval import parse_stats_file, run_kitti_eval
+
+    rows = []
+    for rd in results_dirs:
+        def aps(metric, overlaps):
+            path = os.path.join(rd, f"stats_car_{metric}.txt")
+            if overlaps[0] == 0.7 and os.path.exists(path):
+                return parse_stats_file(path)
+            if gt_dir is None:
+                raise SystemExit(f"need --gt to evaluate {rd} at "
+                                 f"overlap {overlaps[0]}")
+            res = run_kitti_eval(rd, gt_dir, overlaps)
+            return res.get(("car", metric), [0.0, 0.0, 0.0])
+
+        row = (aps("detection_3d", (0.7, 0.5, 0.5)) +
+               aps("detection_ground", (0.7, 0.5, 0.5)) +
+               aps("detection_3d", (0.5, 0.25, 0.25)) +
+               aps("detection_ground", (0.5, 0.25, 0.25)))
+        rows.append(row)
+    return np.asarray(rows)
+
+
+def plot(group_sizes, data, out_path, key=1):
+    """``key``: 0 easy, 1 moderate, 2 hard (the reference plots moderate)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.ticker
+    from matplotlib import pyplot as plt
+
+    cols07 = 3 * np.arange(2) + key          # 3D, BEV at IoU 0.7
+    cols05 = 6 + cols07                      # 3D, BEV at IoU 0.5
+    markers, linestyles = ["o", "s"], ["-", "--"]
+    labels = [r"$3D$", r"$BEV$"]
+
+    fig, ax1 = plt.subplots(figsize=(6, 4), dpi=150)
+    for i, c in enumerate(cols07):
+        ax1.plot(group_sizes, data[:, c], marker=markers[i],
+                 linestyle=linestyles[i], color="tab:blue", label=labels[i])
+    ax1.set_xscale("log")
+    ax1.set_xticks(group_sizes)
+    ax1.get_xaxis().set_major_formatter(matplotlib.ticker.ScalarFormatter())
+    ax1.set_xlabel("Group size")
+    ax1.set_ylabel("AP (IoU = 0.7)", color="tab:blue")
+    ax1.tick_params(axis="y", labelcolor="tab:blue")
+    ax1.grid(True)
+
+    ax2 = ax1.twinx()
+    handles = []
+    for i, c in enumerate(cols05):
+        h, = ax2.plot(group_sizes, data[:, c], marker=markers[i],
+                      linestyle=linestyles[i], color="tab:orange",
+                      label=labels[i])
+        handles.append(h)
+    ax2.set_ylabel("AP (IoU = 0.5)", color="tab:orange")
+    ax2.tick_params(axis="y", labelcolor="tab:orange")
+    ax2.legend(handles=handles, loc="lower right")
+
+    fig.tight_layout()
+    fig.savefig(out_path)
+    print(f"saved {out_path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results", nargs="+", default=None,
+                    help="evaluated results dirs, one per group size")
+    ap.add_argument("--group-sizes", nargs="+", type=int, default=None)
+    ap.add_argument("--gt", default=None, help="label_2 dir for re-eval")
+    ap.add_argument("--paper", action="store_true",
+                    help="plot the published table instead of local results")
+    ap.add_argument("--key", type=int, default=1,
+                    help="difficulty: 0 easy, 1 moderate, 2 hard")
+    ap.add_argument("--out", default="sensitivity_to_group_size.png")
+    args = ap.parse_args()
+
+    if args.paper:
+        group_sizes, data = PAPER_GROUP_SIZES, PAPER_DATA
+    else:
+        if not args.results or not args.group_sizes or \
+                len(args.results) != len(args.group_sizes):
+            raise SystemExit("--results and --group-sizes must pair up "
+                             "(or pass --paper)")
+        order = np.argsort(args.group_sizes)
+        group_sizes = np.asarray(args.group_sizes)[order]
+        data = _collect_from_results(
+            [args.results[i] for i in order], args.gt)
+    plot(group_sizes, data, args.out, key=args.key)
+
+
+if __name__ == "__main__":
+    main()
