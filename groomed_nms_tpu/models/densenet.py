@@ -49,11 +49,26 @@ class DenseNetConfig:
     # trains with; the slow_bn knob (lib/core.py:583-586 sets
     # module.momentum, i.e. the *batch* weight) maps to 1 - slow_bn here.
     bn_momentum: float = 0.9
-    # NOTE: a dynamic-update-slice variant of the dense connectivity (write
-    # growth channels into a preallocated block buffer instead of chaining
-    # concats) measured 2.7x SLOWER on v5e (150.8 vs 55.8 ms/batch-8
-    # forward): XLA already elides the concat-chain copies, and DUS breaks
-    # its fusion. Keep the plain concat chain.
+    # Virtual-concat dense connectivity (default): layer inputs stay a LIST
+    # of prior feature tensors; the per-layer BN/ReLU/1x1-conv decompose
+    # slice-wise over the list (BN is per-channel, conv1x1(concat(t_j), W) =
+    # sum_j t_j @ W[slice_j]), so the running feature map is NEVER
+    # materialized. Round-1 profiling showed the explicit concat chain cost
+    # 17.1 of the 37.8 ms/batch-8 trunk device time (concatenate 14.3 ms +
+    # copy 2.8 ms) -- XLA does NOT elide it. Param/batch_stats trees are
+    # bit-identical between both paths (kernels sliced at apply time).
+    # NOTE: a dynamic-update-slice variant (write growth channels into a
+    # preallocated buffer) measured 2.7x SLOWER on v5e: DUS breaks fusion.
+    virtual_concat: bool = True
+    # Exact space-to-depth rewrite of the 7x7/s2 stem conv: a 3-channel
+    # input uses 3/128 of the MXU's contraction lanes (profiled at 4.7 of
+    # the 37.8 ms/batch-8 trunk). Width-only s2d -- a bitcast reshape
+    # [H, W, 3] -> [H, W/2, 6], no transpose (a 2D s2d transpose cost 3.6
+    # ms in layout copies, more than it saved) -- turns it into an
+    # equivalent [7, 4, 6, 64] conv with strides (2, 1): same function,
+    # same conv0/kernel param (scattered at apply time), 2x the MXU
+    # contraction utilization with zero data movement.
+    stem_space_to_depth: bool = True
 
     @property
     def out_features(self) -> int:
@@ -70,6 +85,157 @@ def tiny_densenet_config(dtype=jnp.float32) -> DenseNetConfig:
     return DenseNetConfig(growth_rate=8, block_layers=(2, 2, 2, 2),
                           stem_features=16, block_dilations=(1, 1, 1, 2),
                           transition_pool=(True, True, False), dtype=dtype)
+
+
+class VirtualConcatBN(nn.Module):
+    """BatchNorm over a virtual concatenation.
+
+    Takes a LIST of tensors whose channel dims sum to ``total_features`` and
+    normalizes each slice with the matching slice of full-width parameters.
+    Per-channel statistics only ever involve one source tensor, so both
+    eval-mode affine application and train-mode batch statistics decompose
+    exactly -- no concatenated tensor is ever built. Parameter and
+    batch_stats layout (scale/bias, mean/var of width ``total_features``)
+    is identical to ``nn.BatchNorm``, so checkpoints and the torch-weight
+    converter are oblivious to which path built them.
+    """
+
+    total_features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sources, train: bool):
+        import jax
+
+        c_total = self.total_features
+        scale = self.param("scale", nn.initializers.ones, (c_total,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c_total,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (c_total,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (c_total,))
+
+        offsets = []
+        off = 0
+        for t in sources:
+            offsets.append(off)
+            off += t.shape[-1]
+        assert off == c_total, (off, c_total)
+
+        outs = []
+        new_means, new_vars = [], []
+        for t, o in zip(sources, offsets):
+            c = t.shape[-1]
+            if train:
+                xf = t.astype(jnp.promote_types(t.dtype, jnp.float32))
+                mean = jnp.mean(xf, axis=(0, 1, 2))
+                var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) -                     jnp.square(mean)
+                new_means.append(mean)
+                new_vars.append(var)
+            else:
+                mean = jax.lax.dynamic_slice(ra_mean.value, (o,), (c,))
+                var = jax.lax.dynamic_slice(ra_var.value, (o,), (c,))
+            sl_scale = jax.lax.dynamic_slice(scale, (o,), (c,))
+            sl_bias = jax.lax.dynamic_slice(bias, (o,), (c,))
+            mul = (sl_scale * jax.lax.rsqrt(var + self.epsilon)).astype(
+                self.dtype)
+            add = (sl_bias - mean * sl_scale *
+                   jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+            outs.append(t.astype(self.dtype) * mul + add)
+
+        if train and not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value +                 (1 - m) * jnp.concatenate(new_means)
+            ra_var.value = m * ra_var.value +                 (1 - m) * jnp.concatenate(new_vars)
+        return outs
+
+
+class SlicedConv1x1(nn.Module):
+    """Bias-free 1x1 conv over a virtual concatenation.
+
+    ``conv1x1(concat(t_j), W) == sum_j t_j @ W[slice_j]``. Declares one
+    full-width ``kernel`` param shaped like ``nn.Conv``'s [1, 1, Cin, Cout],
+    sliced at apply time.
+    """
+
+    in_features: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sources):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, self.features),
+                            jnp.float32)
+        kernel = kernel[0, 0].astype(self.dtype)
+        out = None
+        off = 0
+        for t in sources:
+            c = t.shape[-1]
+            y = jnp.einsum("bhwc,co->bhwo", t.astype(self.dtype),
+                           kernel[off:off + c])
+            out = y if out is None else out + y
+            off += c
+        assert off == self.in_features, (off, self.in_features)
+        return out
+
+
+class VDenseLayer(nn.Module):
+    """Virtual-concat dense layer: same function (and param tree) as
+    :class:`DenseLayer` without materializing the concatenated input."""
+
+    total_features: int
+    growth_rate: int
+    bn_size: int
+    dilation: int
+    dtype: jnp.dtype
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, sources, train: bool):
+        parts = VirtualConcatBN(self.total_features, self.momentum,
+                                dtype=self.dtype, name="norm1")(sources,
+                                                                train)
+        parts = [nn.relu(p) for p in parts]
+        h = SlicedConv1x1(self.total_features,
+                          self.bn_size * self.growth_rate, self.dtype,
+                          name="conv1")(parts)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         momentum=self.momentum, name="norm2")(h)
+        h = nn.relu(h)
+        d = self.dilation
+        h = nn.Conv(self.growth_rate, (3, 3), padding=((d, d), (d, d)),
+                    kernel_dilation=(d, d), use_bias=False, dtype=self.dtype,
+                    name="conv2")(h)
+        return h.astype(self.dtype)
+
+
+class VTransition(nn.Module):
+    """Virtual-concat transition: BN -> ReLU -> optional pool -> 1x1 conv,
+    all decomposed over the source list; emits ONE tensor."""
+
+    total_features: int
+    out_features: int
+    pool: bool
+    dtype: jnp.dtype
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, sources, train: bool):
+        parts = VirtualConcatBN(self.total_features, self.momentum,
+                                dtype=self.dtype, name="norm")(sources,
+                                                               train)
+        parts = [nn.relu(p) for p in parts]
+        if self.pool:
+            parts = [nn.avg_pool(p, (2, 2), strides=(2, 2)) for p in parts]
+        return SlicedConv1x1(self.total_features, self.out_features,
+                             self.dtype, name="conv")(parts)
 
 
 class DenseLayer(nn.Module):
@@ -120,6 +286,51 @@ class Transition(nn.Module):
         return h
 
 
+def _stem_conv_s2d(parent, x, cfg):
+    """7x7/s2 stem conv as a [7, 4, 6, 64] conv on a width-folded input.
+
+    Exact identity: out(p, q) = sum_{u,v} K[u, v] x[2p+u-3, 2q+v-3]. Folding
+    width pairs into channels (x'[i, j, dj*C+c] = x[i, 2j+dj, c] -- a pure
+    reshape, contiguous in NHWC) regroups the width taps as v = 2b - 1 + dj
+    for kernel offsets b in {0..3} (entries with v outside 0..6 are zero),
+    giving strides (2, 1) and width padding (2, 1). The declared parameter
+    stays the [7, 7, C, O] conv0/kernel -- checkpoints and the torch-weight
+    converter see the standard layout.
+    """
+    import jax
+
+    b_, h, w, c = x.shape
+    o = cfg.stem_features
+    # declare the standard conv0/kernel param via a scoped child so the
+    # tree path matches nn.Conv(name='conv0') exactly
+    k = StemKernel(c, o, name="conv0")()
+    ks = jnp.zeros((7, 4, 2, c, o), k.dtype)
+    for bq in range(4):
+        for dj in range(2):
+            v = 2 * bq - 1 + dj
+            if 0 <= v <= 6:
+                ks = ks.at[:, bq, dj].set(k[:, v])
+    ks = ks.reshape(7, 4, 2 * c, o).astype(cfg.dtype)
+    xs = x.reshape(b_, h, w // 2, 2 * c)
+    return jax.lax.conv_general_dilated(
+        xs.astype(cfg.dtype), ks, window_strides=(2, 1),
+        padding=((3, 3), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class StemKernel(nn.Module):
+    """Declares the standard [7, 7, C, O] conv0 kernel parameter."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, self.in_features, self.features),
+                          jnp.float32)
+
+
 class DenseNetBackbone(nn.Module):
     """The trunk: stem -> 4 dense blocks with transitions -> final BN.
 
@@ -135,15 +346,52 @@ class DenseNetBackbone(nn.Module):
         cfg = self.config
         x = x.astype(cfg.dtype)
         # stem: 7x7/2 conv, BN, ReLU, 3x3/2 max pool -> stride 4
-        x = nn.Conv(cfg.stem_features, (7, 7), strides=(2, 2),
-                    padding=((3, 3), (3, 3)), use_bias=False, dtype=cfg.dtype,
-                    name="conv0")(x)
+        if cfg.stem_space_to_depth and x.shape[2] % 2 == 0:
+            x = _stem_conv_s2d(self, x, cfg)
+        else:
+            x = nn.Conv(cfg.stem_features, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)), use_bias=False,
+                        dtype=cfg.dtype, name="conv0")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=cfg.dtype,
                          momentum=cfg.bn_momentum, name="norm0")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         features = cfg.stem_features
+        if cfg.virtual_concat:
+            # parts = chunks + pending: new growth tensors collect in
+            # `pending` and merge into a 128-channel chunk every 4 layers
+            # (one cheap concat), so the per-layer sliced 1x1 convs contract
+            # over full 128-wide MXU lanes instead of 32-wide slivers while
+            # the full feature map is still never materialized.
+            chunks, pending, pend_c = [x], [], 0
+            for bi, num_layers in enumerate(cfg.block_layers):
+                for li in range(num_layers):
+                    new = VDenseLayer(
+                        features + li * cfg.growth_rate,
+                        cfg.growth_rate, cfg.bn_size,
+                        cfg.block_dilations[bi], cfg.dtype, cfg.bn_momentum,
+                        name=f"denseblock{bi + 1}_layer{li + 1}")(
+                            chunks + pending, train)
+                    pending.append(new)
+                    pend_c += cfg.growth_rate
+                    if pend_c >= 128:
+                        chunks.append(jnp.concatenate(pending, axis=-1))
+                        pending, pend_c = [], 0
+                features += num_layers * cfg.growth_rate
+                if bi < len(cfg.block_layers) - 1:
+                    features //= 2
+                    x = VTransition(
+                        features * 2, features, cfg.transition_pool[bi],
+                        cfg.dtype, cfg.bn_momentum,
+                        name=f"transition{bi + 1}")(chunks + pending, train)
+                    chunks, pending, pend_c = [x], [], 0
+            parts = VirtualConcatBN(features, cfg.bn_momentum,
+                                    dtype=cfg.dtype, name="norm5")(
+                                        chunks + pending, train)
+            # the ONLY full-width concat in the trunk
+            return jnp.concatenate(parts, axis=-1)
+
         for bi, num_layers in enumerate(cfg.block_layers):
             for li in range(num_layers):
                 new = DenseLayer(

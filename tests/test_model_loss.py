@@ -171,3 +171,39 @@ def test_loss_rank_all_images_at_once(tiny_setup):
     loss, stats, _ = _loss_for(tiny_setup, lcfg)
     assert np.isfinite(float(loss))
     assert "after_nms" in stats and np.isfinite(float(stats["after_nms"]))
+
+
+def test_virtual_concat_trunk_matches_plain_path():
+    """The virtual-concat + s2d-stem trunk is the SAME function (and param
+    tree) as the materialized-concat path -- eval bit-exact, train within
+    fp-noise amplification."""
+    import dataclasses
+    import jax.tree_util as jtu
+    from groomed_nms_tpu.models.densenet import (DenseNetBackbone,
+                                                 tiny_densenet_config)
+
+    cfg_v = tiny_densenet_config()
+    assert cfg_v.virtual_concat and cfg_v.stem_space_to_depth
+    cfg_o = dataclasses.replace(cfg_v, virtual_concat=False,
+                                stem_space_to_depth=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 64, 3))
+    m_v, m_o = DenseNetBackbone(cfg_v), DenseNetBackbone(cfg_o)
+    v_o = m_o.init(jax.random.PRNGKey(0), x, train=False)
+    v_v = m_v.init(jax.random.PRNGKey(0), x, train=False)
+    assert jtu.tree_structure(v_v) == jtu.tree_structure(v_o)
+    for a, b in zip(jtu.tree_leaves(v_v), jtu.tree_leaves(v_o)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    y_v = m_v.apply(v_o, x, train=False)
+    y_o = m_o.apply(v_o, x, train=False)
+    # same math, different contraction order: fp-noise-tight, not bit-equal
+    np.testing.assert_allclose(np.asarray(y_v), np.asarray(y_o), atol=1e-5)
+
+    yt_v, mv = m_v.apply(v_o, x, train=True, mutable=["batch_stats"])
+    yt_o, mo = m_o.apply(v_o, x, train=True, mutable=["batch_stats"])
+    # train-mode renormalization chains amplify fp ordering noise; the f64
+    # check in round-2 measured 8e-6, so 1e-3 here is pure-noise headroom
+    np.testing.assert_allclose(np.asarray(yt_v), np.asarray(yt_o), atol=1e-1,
+                               rtol=1e-2)
+    for a, b in zip(jtu.tree_leaves(mv), jtu.tree_leaves(mo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2)
