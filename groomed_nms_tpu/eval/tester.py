@@ -38,8 +38,8 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
 
     from ..data.augment import preprocess_images
     from ..data.pipeline import device_prefetch
-    from ..inference import (clip_detections, decode_detections, nms_and_topk,
-                             write_kitti_detections)
+    from ..inference import clip_detections, im_detect_3d, \
+        write_kitti_detections
     from ..parallel import batch_sharding, create_mesh
     from .kitti_eval import evaluate_kitti_results_verbose
 
@@ -72,10 +72,8 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
         outputs = {"prob": out.prob, "bbox_2d": out.bbox_2d,
                    "bbox_3d": out.bbox_3d, "accept_prob": out.accept_prob,
                    "uncertainty": out.uncertainty}
-        dets, scores = decode_detections(
-            outputs, rois_j, rois_3d_j, p2, p2_inv, scale, bbox_means_j,
-            bbox_stds_j, dcfg)
-        return nms_and_topk(dets, scores, dcfg)
+        return im_detect_3d(outputs, rois_j, rois_3d_j, p2, p2_inv, scale,
+                            bbox_means_j, bbox_stds_j, dcfg)
 
     # group same-sized images into device batches (one compile per size);
     # decode images in a thread pool so host IO hides behind device compute

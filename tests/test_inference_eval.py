@@ -191,3 +191,43 @@ def test_clip_detections():
     out = clip_detections(dets, im_w=1242, im_h=375)
     np.testing.assert_allclose(out[0, :4], [0, 0, 1241, 374])
     np.testing.assert_allclose(out[1, :4], dets[1, :4])
+
+
+def test_im_detect_3d_matches_unfused_pipeline():
+    """Top-k-before-decode (im_detect_3d) == decode-all + nms_and_topk.
+
+    The gather commutes with the per-roi elementwise decode, so both paths
+    must select the same boxes with the same rows."""
+    from groomed_nms_tpu.inference import (DetectConfig, decode_detections,
+                                           im_detect_3d, nms_and_topk)
+    rng = np.random.default_rng(3)
+    b, r = 2, 400
+    outputs = {
+        "prob": jax.nn.softmax(
+            jnp.asarray(rng.normal(size=(b, r, 4)), jnp.float32), -1),
+        "bbox_2d": jnp.asarray(rng.normal(size=(b, r, 4)) * 0.1, jnp.float32),
+        "bbox_3d": jnp.asarray(np.concatenate(
+            [rng.normal(size=(b, r, 8)) * 0.1,
+             rng.uniform(0, 1, (b, r, 2))], -1), jnp.float32),
+        "accept_prob": jnp.asarray(rng.uniform(0.2, 1, (b, r)), jnp.float32),
+    }
+    rois = np.zeros((r, 5), np.float32)
+    rois[:, 0] = rng.uniform(0, 1000, r)
+    rois[:, 1] = rng.uniform(0, 300, r)
+    rois[:, 2] = rois[:, 0] + rng.uniform(20, 200, r)
+    rois[:, 3] = rois[:, 1] + rng.uniform(20, 150, r)
+    rois_3d = np.abs(rng.normal(size=(r, 7))).astype(np.float32) + 1.0
+    p2 = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+    p2[:, 0, 0] = 700.0
+    p2[:, 1, 1] = 700.0
+    sf = np.ones((b,), np.float32)
+    means = np.zeros(13, np.float32)
+    stds = np.ones(13, np.float32)
+    args = (jnp.asarray(rois), jnp.asarray(rois_3d), jnp.asarray(p2),
+            jnp.asarray(np.linalg.inv(p2)), jnp.asarray(sf), means, stds)
+    cfg = DetectConfig(nms_topN_pre=128, nms_topN_post=16)
+    d1, s1 = decode_detections(outputs, *args, cfg)
+    o1, v1 = nms_and_topk(d1, s1, cfg)
+    o2, v2 = im_detect_3d(outputs, *args, cfg)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
