@@ -36,24 +36,14 @@ from .kitti import decompose_alpha, rot_y_to_alpha
 # device-side image pipeline
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("target_h", "crop_w"))
-def preprocess_images(images, mirror, means, stds, *, target_h, crop_w):
-    """uint8 [B, H0, W0, 3] -> normalised float32 [B, target_h, crop_w, 3].
-
-    Args:
-      images: batch of same-sized decoded images (a KITTI split has only a
-        handful of distinct sizes, so at most a few compiles).
-      mirror: [B] bool; horizontally flip these images (before resize).
-      means / stds: [3] channel statistics (0-1 scale).
+def _resize_normalize(x, means, stds, target_h, crop_w):
+    """float [B, H0, W0, 3] in 0-255 -> normalised [B, target_h, crop_w, 3].
 
     Scale factor is ``target_h / H0``; width is scaled by the same factor
     then cropped or zero-padded to ``crop_w``, exactly like the reference's
     Resize (lib/augmentations.py:86-105).
     """
-    b, h0, w0, _ = images.shape
-    x = images.astype(jnp.float32)
-    x = jnp.where(mirror[:, None, None, None], x[:, :, ::-1, :], x)
-
+    b, h0, w0, _ = x.shape
     scale = target_h / h0
     new_w = int(round(w0 * scale))
     x = jax.image.resize(x, (b, target_h, new_w, 3), method="bilinear")
@@ -65,6 +55,43 @@ def preprocess_images(images, mirror, means, stds, *, target_h, crop_w):
     x = x / 255.0
     x = (x - jnp.asarray(means)) / jnp.asarray(stds)
     return x
+
+
+@functools.partial(jax.jit, static_argnames=("target_h", "crop_w"))
+def preprocess_images(images, mirror, means, stds, *, target_h, crop_w):
+    """uint8 [B, H0, W0, 3] -> normalised float32 [B, target_h, crop_w, 3].
+
+    Args:
+      images: batch of same-sized decoded images (a KITTI split has only a
+        handful of distinct sizes, so at most a few compiles).
+      mirror: [B] bool; horizontally flip these images (before resize).
+      means / stds: [3] channel statistics (0-1 scale).
+    """
+    x = images.astype(jnp.float32)
+    x = jnp.where(mirror[:, None, None, None], x[:, :, ::-1, :], x)
+    return _resize_normalize(x, means, stds, target_h, crop_w)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("target_h", "crop_w", "distort_prob"))
+def preprocess_images_train(images, mirror, means, stds, key, *,
+                            target_h, crop_w, distort_prob):
+    """Train-time preprocess: flip + per-image photometric jitter + resize.
+
+    The reference applies PhotometricDistort per image with probability
+    ``distort_prob`` before mirroring/resizing (lib/augmentations.py:339-352,
+    Augmentation compose at :355-376); distortion is spatially uniform so the
+    flip/distort order is immaterial and both fuse into the same XLA program
+    here.  ``distort_prob <= 0`` compiles to exactly ``preprocess_images``.
+    """
+    x = images.astype(jnp.float32)
+    x = jnp.where(mirror[:, None, None, None], x[:, :, ::-1, :], x)
+    if distort_prob > 0:
+        kd, kp = jax.random.split(key)
+        apply = jax.random.uniform(kp, (x.shape[0],)) <= distort_prob
+        x = jnp.where(apply[:, None, None, None],
+                      photometric_distort(kd, x), x)
+    return _resize_normalize(x, means, stds, target_h, crop_w)
 
 
 def photometric_distort(key, images, brightness=0.2, contrast=0.2,

@@ -36,7 +36,8 @@ def main():
     from groomed_nms_tpu.config import load_config
     from groomed_nms_tpu.data.imdb import build_imdb
     from groomed_nms_tpu.data.pipeline import TrainLoader, prepare_anchors
-    from groomed_nms_tpu.data.augment import preprocess_images
+    from groomed_nms_tpu.data.augment import (preprocess_images,
+                                              preprocess_images_train)
     from groomed_nms_tpu.anchors import locate_anchors
     from groomed_nms_tpu.models import RPN3D
     from groomed_nms_tpu.parallel import create_mesh, shard_batch, \
@@ -138,11 +139,24 @@ def main():
 
     from groomed_nms_tpu.data.pipeline import device_prefetch
 
+    distort_base_key = jax.random.PRNGKey(cfg.rng_seed + 1)
+    batch_counter = [0]
+
     def to_device_batch(hb):
-        images = preprocess_images(
-            jnp.asarray(hb["images_u8"]), jnp.asarray(hb["mirror"]),
-            means_img, stds_img, target_h=cfg.crop_size[0],
-            crop_w=cfg.crop_size[1])
+        if cfg.distort_prob > 0:
+            # fresh fold per batch; photometric jitter fuses into the same
+            # preprocess program (reference lib/augmentations.py:339-376)
+            key = jax.random.fold_in(distort_base_key, batch_counter[0])
+            batch_counter[0] += 1
+            images = preprocess_images_train(
+                jnp.asarray(hb["images_u8"]), jnp.asarray(hb["mirror"]),
+                means_img, stds_img, key, target_h=cfg.crop_size[0],
+                crop_w=cfg.crop_size[1], distort_prob=cfg.distort_prob)
+        else:
+            images = preprocess_images(
+                jnp.asarray(hb["images_u8"]), jnp.asarray(hb["mirror"]),
+                means_img, stds_img, target_h=cfg.crop_size[0],
+                crop_w=cfg.crop_size[1])
         return shard_batch(mesh, dict(images=images, **hb["gt"]._asdict()))
 
     # snapshot-time evaluation (reference train_rpn_3d.py:162-189 writes txt

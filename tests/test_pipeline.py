@@ -125,6 +125,33 @@ def test_preprocess_images_device():
     np.testing.assert_allclose(out3[:, :, 214:], 0.0, atol=1e-6)
 
 
+def test_preprocess_images_train_distort():
+    import jax
+    from groomed_nms_tpu.data.augment import preprocess_images_train
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (2, 96, 320, 3), np.uint8)
+    means = jnp.asarray([0.485, 0.456, 0.406])
+    stds = jnp.asarray([0.229, 0.224, 0.225])
+    mirror = jnp.asarray([False, True])
+    key = jax.random.PRNGKey(0)
+    base = np.asarray(preprocess_images(jnp.asarray(imgs), mirror, means,
+                                        stds, target_h=64, crop_w=256))
+    # prob <= 0: bit-identical to the eval path
+    off = np.asarray(preprocess_images_train(
+        jnp.asarray(imgs), mirror, means, stds, key,
+        target_h=64, crop_w=256, distort_prob=-1.0))
+    np.testing.assert_array_equal(off, base)
+    # prob = 1: every image jittered, still finite and bounded
+    on = np.asarray(preprocess_images_train(
+        jnp.asarray(imgs), mirror, means, stds, key,
+        target_h=64, crop_w=256, distort_prob=1.0))
+    assert on.shape == base.shape and np.isfinite(on).all()
+    assert np.abs(on - base).max() > 1e-3
+    # distortion clips to [0, 255] pre-normalisation
+    un_norm = on * np.asarray(stds) + np.asarray(means)
+    assert un_norm.min() >= -1e-5 and un_norm.max() <= 1.0 + 1e-5
+
+
 def test_config_modules_load():
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(
