@@ -39,7 +39,7 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
     from ..data.augment import preprocess_images
     from ..data.pipeline import device_prefetch
     from ..inference import clip_detections, im_detect_3d, \
-        write_kitti_detections
+        rpn_outputs_dict, write_kitti_detections
     from ..parallel import batch_sharding, create_mesh
     from .kitti_eval import evaluate_kitti_results_verbose
 
@@ -69,11 +69,8 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
             images_u8, jnp.zeros((images_u8.shape[0],), bool), means_img,
             stds_img, target_h=cfg.crop_size[0], crop_w=cfg.crop_size[1])
         out = model.apply(variables, images, train=False)
-        outputs = {"prob": out.prob, "bbox_2d": out.bbox_2d,
-                   "bbox_3d": out.bbox_3d, "accept_prob": out.accept_prob,
-                   "uncertainty": out.uncertainty}
-        return im_detect_3d(outputs, rois_j, rois_3d_j, p2, p2_inv, scale,
-                            bbox_means_j, bbox_stds_j, dcfg)
+        return im_detect_3d(rpn_outputs_dict(out), rois_j, rois_3d_j, p2,
+                            p2_inv, scale, bbox_means_j, bbox_stds_j, dcfg)
 
     # group same-sized images into device batches (one compile per size);
     # decode images in a thread pool so host IO hides behind device compute

@@ -51,6 +51,13 @@ class RPNOutputs(NamedTuple):
     accept_prob: Optional[jnp.ndarray] = None
     accept_cls: Optional[jnp.ndarray] = None
     uncertainty: Optional[jnp.ndarray] = None
+    # raw fused head output [B, R, per_anchor] in compute dtype (bf16).  The
+    # inference fast path scores + top-k gathers from THIS tensor so the
+    # full-resolution f32 splits (cls/prob/bbox_2d/bbox_3d above) become dead
+    # code under jit -- materializing [B, 126k, 18] f32 with 18-wide minor
+    # dims cost ~4.5 ms/batch-8 in layout copies on v5e.  Channel order:
+    # [cls(C) | bbox_2d(4) | bbox_3d(n3d) | uncertainty(0/1)].
+    fused_raw: Optional[jnp.ndarray] = None
 
 
 @dataclass(frozen=True)
@@ -117,7 +124,8 @@ class RPN3D(nn.Module):
         per_anchor = c + _N_BOX2D + n3d + (1 if cfg.predict_uncertainty else 0)
         fused = nn.Conv(a * per_anchor, (1, 1), dtype=cfg.dtype,
                         name="head")(h)
-        fused = fused.reshape(b, r, per_anchor).astype(jnp.float32)
+        fused_raw = fused.reshape(b, r, per_anchor)
+        fused = fused_raw.astype(jnp.float32)
 
         cls = fused[..., :c]
         bbox_2d = fused[..., c:c + _N_BOX2D]
@@ -156,7 +164,7 @@ class RPN3D(nn.Module):
         outputs = RPNOutputs(cls=cls, prob=prob, bbox_2d=bbox_2d,
                              bbox_3d=bbox_3d, feat_hw=(fh, fw),
                              accept_prob=accept_prob, accept_cls=accept_cls,
-                             uncertainty=uncertainty)
+                             uncertainty=uncertainty, fused_raw=fused_raw)
         if return_base:
             # trunk features for the video model's pose head (the
             # reference's return_base flag, models/...alpha.py:1082)

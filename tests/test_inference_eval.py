@@ -231,3 +231,49 @@ def test_im_detect_3d_matches_unfused_pipeline():
     o2, v2 = im_detect_3d(outputs, *args, cfg)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_fused_raw_fast_path_matches_split_outputs():
+    """im_detect_3d on the model's fused_raw tensor == on the split f32
+    outputs: the f32 cast / softmax / sigmoid commute with the top-k gather,
+    so both decode paths must be bit-equal."""
+    from groomed_nms_tpu.inference import (DetectConfig, im_detect_3d,
+                                           rpn_outputs_dict)
+    from groomed_nms_tpu.models import RPN3D, RPNConfig
+    from groomed_nms_tpu.models.densenet import tiny_densenet_config
+    from groomed_nms_tpu.anchors import locate_anchors
+
+    rng = np.random.default_rng(5)
+    a = 6
+    for kwargs in ({"predict_acceptance_prob": True},
+                   {"predict_uncertainty": True},
+                   {"predict_acceptance_prob": True,
+                    "predict_velocity": True}):
+        cfg = RPNConfig(num_classes=4, num_anchors=a, prop_features=32,
+                        backbone=tiny_densenet_config(), **kwargs)
+        model = RPN3D(cfg)
+        images = jnp.asarray(rng.normal(size=(2, 64, 128, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), images, train=False)
+        out = model.apply(variables, images, train=False)
+        assert out.fused_raw is not None
+
+        priors = np.abs(rng.normal(size=(a, 11))).astype(np.float32) + 1.0
+        priors[:, 2:4] += priors[:, 0:2] + 16.0
+        rois = np.asarray(locate_anchors(priors, (4, 8), 16))
+        rois_3d = priors[rois[:, 4].astype(np.int64), 4:]
+        p2 = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+        p2[:, 0, 0] = 700.0
+        p2[:, 1, 1] = 700.0
+        args = (jnp.asarray(rois), jnp.asarray(rois_3d), jnp.asarray(p2),
+                jnp.asarray(np.linalg.inv(p2)),
+                jnp.ones((2,), jnp.float32), np.zeros(13, np.float32),
+                np.ones(13, np.float32))
+        dcfg = DetectConfig(nms_topN_pre=64, nms_topN_post=8)
+        full = rpn_outputs_dict(out)
+        legacy = {k: v for k, v in full.items() if k != "fused_raw"}
+        o_fast, v_fast = im_detect_3d(full, *args, dcfg)
+        o_legacy, v_legacy = im_detect_3d(legacy, *args, dcfg)
+        np.testing.assert_array_equal(np.asarray(v_fast),
+                                      np.asarray(v_legacy))
+        np.testing.assert_allclose(np.asarray(o_fast), np.asarray(o_legacy),
+                                   atol=1e-6)
