@@ -170,16 +170,24 @@ class SlicedConv1x1(nn.Module):
 
     @nn.compact
     def __call__(self, sources):
+        import jax
+
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (1, 1, self.in_features, self.features),
                             jnp.float32)
-        kernel = kernel[0, 0].astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
         out = None
         off = 0
         for t in sources:
             c = t.shape[-1]
-            y = jnp.einsum("bhwc,co->bhwo", t.astype(self.dtype),
-                           kernel[off:off + c])
+            # a real 1x1 conv, not einsum: the dot emitter wants its lhs in
+            # {3,1,2,0} while every trunk conv emits {3,0,2,1}, so einsum
+            # forced a retile copy per growth tensor (~0.35 ms each at
+            # block-1 size); convs consume conv-layout outputs natively.
+            y = jax.lax.conv_general_dilated(
+                t.astype(self.dtype), kernel[:, :, off:off + c, :],
+                window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
             out = y if out is None else out + y
             off += c
         assert off == self.in_features, (off, self.in_features)
