@@ -181,16 +181,16 @@ def select_top_pre_nms(outputs, rois, rois_3d, cfg: DetectConfig):
         c = cfg.num_classes
         has_unc = unc_full is not None
         n3d = fused.shape[-1] - c - _N_BOX2D - (1 if has_unc else 0)
-        logits = fused[..., :c].astype(jnp.float32)
-        # max fg softmax prob in ONE reduction pass, never materializing the
-        # [B, R, C] softmax (profiled at 2.3 ms/batch-8 for R=126k):
-        # max_i(e_i/s) == max_i(e_i)/s exactly, since /s is monotone.
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - jax.lax.stop_gradient(m))
-        scores = jnp.max(e[..., 1:], axis=-1) / jnp.sum(e, axis=-1)
         accept = accept_full if accept_full is not None else unc_full
-        if cfg.use_acceptance_prob_for_nms and accept is not None:
-            scores = scores * accept
+        if not cfg.use_acceptance_prob_for_nms:
+            accept = None
+        # max fg softmax prob (x acceptance) in ONE VMEM pass over the bf16
+        # head tensor: max_i(e_i/s) == max_i(e_i)/s exactly (/s monotone),
+        # so no [B, R, C] softmax is ever materialized.
+        from .ops.pallas_kernels import fused_head_scores
+        scores = fused_head_scores(
+            fused, accept, num_classes=c,
+            interpret=jax.default_backend() != "tpu")
         k = min(cfg.nms_topN_pre, scores.shape[-1])
         _, idx = jax.lax.top_k(scores, k)                  # [B, K]
         sel_f = jnp.take_along_axis(fused, idx[..., None],

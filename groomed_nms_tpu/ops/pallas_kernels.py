@@ -120,3 +120,68 @@ def fused_iou_prune(boxes, valid_mask=None, *, nms_threshold=0.4,
         iou = jnp.where(vv, iou, 0.0)
         prune = jnp.where(vv, prune, 0.0)
     return iou, prune
+
+
+# ---------------------------------------------------------------------------
+# fused head scoring
+# ---------------------------------------------------------------------------
+
+def _score_kernel(c, with_accept):
+    def kernel(*refs):
+        if with_accept:
+            x_ref, a_ref, out_ref = refs
+        else:
+            x_ref, out_ref = refs
+        x = x_ref[:].astype(jnp.float32)          # (B, BLK, per)
+        logits = x[:, :, :c]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.max(e[:, :, 1:], axis=-1) / jnp.sum(e, axis=-1)
+        if with_accept:
+            s = s * a_ref[:]
+        out_ref[:] = s
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "interpret"))
+def fused_head_scores(fused, accept=None, *, num_classes, interpret=False):
+    """Detection score (max fg softmax x optional acceptance) per anchor.
+
+    ``fused`` [B, R, per] is the RPN head's raw fused tensor (compute dtype,
+    class logits in channels [0, num_classes)); ``accept`` [B, R] f32 or
+    None.  Returns [B, R] f32 == ``max(softmax(logits)[1:]) * accept``.
+
+    One VMEM pass: the XLA lowering of the same math materializes two
+    [B, R, C] f32 intermediates whose tiny minor dims use 4 of 128 tile
+    lanes (profiled at 1.9 ms/batch-8 for R=126k on v5e); here the only HBM
+    traffic is one read of ``fused`` and one [B, R] write.
+    """
+    b, r, per = fused.shape
+    # full-batch blocks, 1D grid over the roi axis; the lane dim of the out
+    # block must be 128-divisible, the sublane dim is the full batch.
+    # blk is kept moderate: ``per`` sits on the lane axis and is padded to
+    # 128 lanes in VMEM, so a block occupies b*blk*128*dtype bytes on chip
+    # (HBM traffic is still only the real b*blk*per bytes).
+    blk = min(2048, -(-r // 512) * 512)
+    grid = (-(-r // blk),)
+    in_specs = [pl.BlockSpec((b, blk, per), lambda j: (0, j, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [fused]
+    if accept is not None:
+        in_specs.append(pl.BlockSpec((b, blk), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(accept.astype(jnp.float32))
+    return pl.pallas_call(
+        _score_kernel(num_classes, accept is not None),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, blk), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r), jnp.float32),
+        # f32 temps are lane-padded (per -> 128), so the scoped stack runs
+        # ~b*blk*128*4 bytes per live temp -- well past the 16M default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)

@@ -43,3 +43,27 @@ def test_fused_valid_mask(rng):
     assert (iou_k[~valid, :] == 0).all()
     assert (iou_k[:, ~valid] == 0).all()
     assert (np.asarray(prune_k)[~valid, :] == 0).all()
+
+
+def test_fused_head_scores_matches_softmax():
+    import jax
+    from groomed_nms_tpu.ops.pallas_kernels import fused_head_scores
+    rng = np.random.default_rng(2)
+    for b, r, per, c in ((2, 640, 18, 4), (1, 100, 19, 4), (3, 1300, 9, 2)):
+        fused = jnp.asarray(rng.normal(size=(b, r, per)) * 3, jnp.float32)
+        accept = jnp.asarray(rng.uniform(0.1, 1, (b, r)), jnp.float32)
+        ref = jnp.max(jax.nn.softmax(fused[..., :c], axis=-1)[..., 1:],
+                      axis=-1)
+        got = fused_head_scores(fused, None, num_classes=c, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+        got_a = fused_head_scores(fused, accept, num_classes=c,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(got_a),
+                                   np.asarray(ref * accept), atol=1e-6)
+    # bf16 input path (the production dtype)
+    fused16 = jnp.asarray(rng.normal(size=(2, 256, 18)), jnp.bfloat16)
+    ref = jnp.max(jax.nn.softmax(fused16.astype(jnp.float32)[..., :4],
+                                 axis=-1)[..., 1:], axis=-1)
+    got = fused_head_scores(fused16, None, num_classes=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
