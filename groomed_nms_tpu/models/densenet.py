@@ -294,36 +294,41 @@ class Transition(nn.Module):
         return h
 
 
-def _stem_conv_s2d(parent, x, cfg):
+def stem_s2d_conv(x, k, dtype, stem_features):
     """7x7/s2 stem conv as a [7, 4, 6, 64] conv on a width-folded input.
 
     Exact identity: out(p, q) = sum_{u,v} K[u, v] x[2p+u-3, 2q+v-3]. Folding
     width pairs into channels (x'[i, j, dj*C+c] = x[i, 2j+dj, c] -- a pure
     reshape, contiguous in NHWC) regroups the width taps as v = 2b - 1 + dj
     for kernel offsets b in {0..3} (entries with v outside 0..6 are zero),
-    giving strides (2, 1) and width padding (2, 1). The declared parameter
-    stays the [7, 7, C, O] conv0/kernel -- checkpoints and the torch-weight
-    converter see the standard layout.
+    giving strides (2, 1) and width padding (2, 1). ``k`` is the standard
+    [7, 7, C, O] conv0/kernel -- checkpoints and the torch-weight converter
+    see the standard layout.  Shared by the flax module and the fast-eval
+    engine (models/fast_eval.py).
     """
     import jax
 
     b_, h, w, c = x.shape
-    o = cfg.stem_features
-    # declare the standard conv0/kernel param via a scoped child so the
-    # tree path matches nn.Conv(name='conv0') exactly
-    k = StemKernel(c, o, name="conv0")()
+    o = stem_features
     ks = jnp.zeros((7, 4, 2, c, o), k.dtype)
     for bq in range(4):
         for dj in range(2):
             v = 2 * bq - 1 + dj
             if 0 <= v <= 6:
                 ks = ks.at[:, bq, dj].set(k[:, v])
-    ks = ks.reshape(7, 4, 2 * c, o).astype(cfg.dtype)
+    ks = ks.reshape(7, 4, 2 * c, o).astype(dtype)
     xs = x.reshape(b_, h, w // 2, 2 * c)
     return jax.lax.conv_general_dilated(
-        xs.astype(cfg.dtype), ks, window_strides=(2, 1),
+        xs.astype(dtype), ks, window_strides=(2, 1),
         padding=((3, 3), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _stem_conv_s2d(parent, x, cfg):
+    # declare the standard conv0/kernel param via a scoped child so the
+    # tree path matches nn.Conv(name='conv0') exactly
+    k = StemKernel(x.shape[-1], cfg.stem_features, name="conv0")()
+    return stem_s2d_conv(x, k, cfg.dtype, cfg.stem_features)
 
 
 class StemKernel(nn.Module):
