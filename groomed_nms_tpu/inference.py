@@ -254,15 +254,17 @@ def nms_and_topk(dets, scores, cfg: DetectConfig, presorted: bool = False):
     descending score order (the im_detect_3d path, whose pre-NMS gather
     sorted them)."""
 
-    def per_image(d, s):
-        k_pre = min(cfg.nms_topN_pre, s.shape[0])
-        if presorted:
-            vals = s[:k_pre]
-            d = d[:k_pre]
-        else:
-            vals, idx = jax.lax.top_k(s, k_pre)
-            d = d[idx]
-        if cfg.use_differentiable_nms:
+    k_pre = min(cfg.nms_topN_pre, scores.shape[1])
+    if presorted:
+        d = dets[:, :k_pre]
+        vals = scores[:, :k_pre]
+    else:
+        vals, idx = jax.lax.top_k(scores, k_pre)
+        d = jnp.take_along_axis(dets, idx[..., None], axis=1)
+
+    if cfg.use_differentiable_nms:
+
+        def per_image(d, vals):
             k = min(cfg.diff_nms_boxes, k_pre)
             d = d[:k]
             vals = vals[:k]
@@ -287,24 +289,24 @@ def nms_and_topk(dets, scores, cfg: DetectConfig, presorted: bool = False):
                 group_boxes=cfg.diff_nms_group_boxes,
                 mask_group_boxes=cfg.diff_nms_mask_group_boxes,
                 group_size=cfg.diff_nms_group_size)
-            keep_score = jnp.where(res.keep, vals, -1.0)
-        else:
-            # exact greedy NMS via the tiled parallel-suppression kernel
-            # (replaces the reference's CUDA bitmask kernel + host sweep,
-            # lib/nms/nms_kernel.cu:24-144); rows are already score-sorted
-            from .ops.nms import greedy_nms_blocked
-            alive = greedy_nms_blocked(d[:, :4], vals, valid_mask=vals > 0,
-                                       nms_threshold=cfg.nms_thres,
-                                       shift=1.0)
-            keep_score = jnp.where(alive, vals, -1.0)
+            return jnp.where(res.keep, vals, -1.0), d
 
-        k_post = min(cfg.nms_topN_post, keep_score.shape[0])
-        post_vals, post_idx = jax.lax.top_k(keep_score, k_post)
-        out = d[post_idx]
-        valid = post_vals > 0
-        return out, valid
+        keep_score, d = jax.vmap(per_image)(d, vals)
+    else:
+        # exact greedy NMS, whole batch in one VMEM-resident Pallas kernel
+        # (replaces the reference's CUDA bitmask kernel + host sweep,
+        # lib/nms/nms_kernel.cu:24-144); rows are already score-sorted
+        from .ops.pallas_kernels import greedy_nms_pallas
+        alive = greedy_nms_pallas(d[..., :4], vals,
+                                  nms_threshold=cfg.nms_thres, shift=1.0,
+                                  interpret=jax.default_backend() != "tpu")
+        keep_score = jnp.where(alive, vals, -1.0)
 
-    return jax.vmap(per_image)(dets, scores)
+    k_post = min(cfg.nms_topN_post, keep_score.shape[1])
+    post_vals, post_idx = jax.lax.top_k(keep_score, k_post)
+    out = jnp.take_along_axis(d, post_idx[..., None], axis=1)
+    valid = post_vals > 0
+    return out, valid
 
 
 def rpn_outputs_dict(out):

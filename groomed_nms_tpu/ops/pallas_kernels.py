@@ -185,3 +185,117 @@ def fused_head_scores(fused, accept=None, *, num_classes, interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# batched greedy NMS
+# ---------------------------------------------------------------------------
+
+def _nms_kernel(n, t, thr, shift):
+    n_tiles = n // t
+
+    def kernel(coords_ref, scores_ref, keep_ref):
+        x1 = coords_ref[0, 0, :]
+        y1 = coords_ref[0, 1, :]
+        x2 = coords_ref[0, 2, :]
+        y2 = coords_ref[0, 3, :]
+        area = (x2 - x1 + shift) * (y2 - y1 + shift)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) <
+               jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+               ).astype(jnp.float32)
+        # all mask algebra in f32 (Mosaic can't reshape i1 vectors), and
+        # keep doubles as the alive set for not-yet-finalized tiles
+        keep_ref[0, 0, :] = (scores_ref[0, 0, :] > 0.0).astype(jnp.float32)
+
+        def tile_body(ti, _):
+            s = ti * t
+            # tile coords re-read through the ref (Mosaic lowers dynamic
+            # slices of REFS, not of values)
+            tx1 = coords_ref[0, 0, pl.ds(s, t)].reshape(t, 1)
+            ty1 = coords_ref[0, 1, pl.ds(s, t)].reshape(t, 1)
+            tx2 = coords_ref[0, 2, pl.ds(s, t)].reshape(t, 1)
+            ty2 = coords_ref[0, 3, pl.ds(s, t)].reshape(t, 1)
+            ta = (tx2 - tx1 + shift) * (ty2 - ty1 + shift)
+            iw = jnp.maximum(
+                jnp.minimum(tx2, x2[None, :]) -
+                jnp.maximum(tx1, x1[None, :]) + shift, 0.0)
+            ih = jnp.maximum(
+                jnp.minimum(ty2, y2[None, :]) -
+                jnp.maximum(ty1, y1[None, :]) + shift, 0.0)
+            inter = iw * ih
+            over = (inter / jnp.maximum(ta + area[None, :] - inter, 1e-12)
+                    > thr).astype(jnp.float32)                 # [t, n]
+            # suppression by kept boxes in earlier (finalized) tiles
+            prev = keep_ref[0, 0, :] * (col < s).astype(jnp.float32)
+            sup = jnp.sum(over * prev[None, :], axis=1)
+            tv = (scores_ref[0, 0, pl.ds(s, t)] > 0.0).astype(jnp.float32)
+            alive0 = tv * (sup <= 0.0).astype(jnp.float32)     # [t]
+            # within-tile fixpoint of the greedy recurrence; tile-vs-tile
+            # overlaps recomputed directly (cheaper than slicing `over`)
+            siw = jnp.maximum(
+                jnp.minimum(tx2, tx2.reshape(1, t)) -
+                jnp.maximum(tx1, tx1.reshape(1, t)) + shift, 0.0)
+            sih = jnp.maximum(
+                jnp.minimum(ty2, ty2.reshape(1, t)) -
+                jnp.maximum(ty1, ty1.reshape(1, t)) + shift, 0.0)
+            sinter = siw * sih
+            over_tt = (sinter / jnp.maximum(
+                ta + ta.reshape(1, t) - sinter, 1e-12)
+                > thr).astype(jnp.float32) * tri
+
+            def cond(state):
+                return state[1]
+
+            def body(state):
+                a, _ = state
+                sup_in = jnp.sum(over_tt * a.reshape(t, 1), axis=0)
+                a_new = alive0 * (sup_in <= 0.0).astype(jnp.float32)
+                return a_new, jnp.any(a_new != a)
+
+            a, _ = jax.lax.while_loop(cond, body,
+                                      (alive0, jnp.array(True)))
+            keep_ref[0, 0, pl.ds(s, t)] = a
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nms_threshold", "shift", "tile",
+                                    "interpret"))
+def greedy_nms_pallas(boxes, scores, *, nms_threshold=0.4, shift=1.0,
+                      tile=256, interpret=False):
+    """Batched exact greedy NMS; rows must be score-sorted per image.
+
+    boxes [B, N, 4], scores [B, N] (rows with score <= 0 are padding) ->
+    keep [B, N] bool.  Identical keep set to
+    :func:`~groomed_nms_tpu.ops.nms.greedy_nms_blocked` per image: tiles
+    are finalized in order, cross-tile suppression is one [t, N] pass and
+    the within-tile greedy recurrence iterates to fixpoint -- but the whole
+    image (boxes, IoU tiles, alive set) stays in VMEM and the batch rides
+    the grid, replacing 2.3 ms of XLA while-loop overhead per batch-8.
+    """
+    b, n, _ = boxes.shape
+    n_pad = -(-n // tile) * tile
+    coords = jnp.moveaxis(boxes.astype(jnp.float32), -1, 1)   # [B, 4, N]
+    coords = jnp.pad(coords, ((0, 0), (0, 0), (0, n_pad - n)))
+    sc = jnp.pad(scores.astype(jnp.float32),
+                 ((0, 0), (0, n_pad - n)))[:, None, :]
+    keep = pl.pallas_call(
+        _nms_kernel(n_pad, min(tile, n_pad), nms_threshold, shift),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 4, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+        interpret=interpret,
+    )(coords, sc)
+    return keep[:, 0, :n] > 0.5

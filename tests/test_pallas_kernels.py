@@ -67,3 +67,32 @@ def test_fused_head_scores_matches_softmax():
                                  axis=-1)[..., 1:], axis=-1)
     got = fused_head_scores(fused16, None, num_classes=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_greedy_nms_pallas_matches_blocked():
+    from groomed_nms_tpu.ops.nms import greedy_nms_blocked, greedy_nms_numpy
+    from groomed_nms_tpu.ops.pallas_kernels import greedy_nms_pallas
+    rng = np.random.default_rng(7)
+    for b, n in ((2, 300), (3, 700)):
+        boxes = np.zeros((b, n, 4), np.float32)
+        boxes[..., 0] = rng.uniform(0, 800, (b, n))
+        boxes[..., 1] = rng.uniform(0, 300, (b, n))
+        boxes[..., 2] = boxes[..., 0] + rng.uniform(10, 200, (b, n))
+        boxes[..., 3] = boxes[..., 1] + rng.uniform(10, 150, (b, n))
+        scores = np.sort(rng.uniform(0.01, 1, (b, n)))[:, ::-1].copy()
+        scores[:, -40:] = 0.0   # padded rows
+        keep = np.asarray(greedy_nms_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), nms_threshold=0.4,
+            shift=1.0, interpret=True))
+        for i in range(b):
+            ref = np.asarray(greedy_nms_blocked(
+                jnp.asarray(boxes[i]), jnp.asarray(scores[i]),
+                valid_mask=jnp.asarray(scores[i] > 0), nms_threshold=0.4,
+                shift=1.0))
+            np.testing.assert_array_equal(keep[i], ref)
+            # and against the numpy oracle (kept indices, already sorted)
+            dets = np.concatenate([boxes[i], scores[i][:, None]], axis=1)
+            live = dets[scores[i] > 0]
+            oracle = greedy_nms_numpy(live, 0.4, shift=1.0)
+            np.testing.assert_array_equal(np.flatnonzero(keep[i]),
+                                          np.sort(oracle))
