@@ -101,3 +101,31 @@ def test_train_then_test_scripts(tmp_path):
     stats = list((results.parent).glob("stats_*"))
     assert train.stdout or True  # logs captured
     assert stats or "evaluated" in test.stdout + test.stderr
+
+
+def test_dashboard_renders_from_metrics_csv(tmp_path):
+    """analysis/dashboard.py turns a metrics.csv into a self-contained HTML
+    (the reference's visdom display_stats equivalent, lib/core.py:730-780)."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from analysis.dashboard import main as dash_main
+
+    run = tmp_path / "exp"
+    run.mkdir()
+    keys = ["acc_fg", "bbox_3d", "cls", "total", "lr"]
+    with open(run / "metrics.csv", "w") as f:
+        f.write("iter," + ",".join(keys) + "\n")
+        for i in range(1, 6):
+            f.write(f"{i * 100}," + ",".join(
+                f"{1.0 / i + j:.4f}" for j in range(len(keys))) + "\n")
+    (run / "conf.json").write_text(json.dumps({"name": "exp", "lr": 4e-3}))
+    out = dash_main(["--run", str(run)])
+    html_text = open(out).read()
+    for k in keys:
+        assert f'data-key="{k}"' in html_text
+    assert "<h2>loss</h2>" in html_text
+    assert "<h2>accuracy</h2>" in html_text
+    assert "Configuration" in html_text
+    assert "__DATA__" in html_text
