@@ -223,8 +223,12 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
     # ------------------------------------------------------------------
     # fg/bg sampling with hard negatives (scores = prob of assigned label)
     # ------------------------------------------------------------------
-    score_of_label = jnp.take_along_axis(
-        jax.lax.stop_gradient(prob), label_int[..., None], axis=-1)[..., 0]
+    # class-axis select via one-hot multiply-reduce: take_along_axis over a
+    # 4-wide minor dim lowered to ~7 ms/step of XLA gathers under jvp
+    label_onehot = (label_int[..., None] == jnp.arange(
+        cls.shape[-1], dtype=jnp.int32)).astype(jnp.float32)   # [B, R, C]
+    score_of_label = jnp.sum(
+        jax.lax.stop_gradient(prob) * label_onehot, axis=-1)
 
     n_fg = jnp.sum(fg, axis=1)             # [B]
     n_bg = jnp.sum(bg, axis=1)
@@ -344,7 +348,9 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
     # ------------------------------------------------------------------
     if cfg.cls_2d_lambda:
         logp = jax.nn.log_softmax(cls, axis=-1)
-        ce = -jnp.take_along_axis(logp, label_int[..., None], axis=-1)[..., 0]
+        # where-masked (not multiplied): an underflowed logp of -inf on a
+        # non-label class would turn 0 * -inf into NaN
+        ce = -jnp.sum(jnp.where(label_onehot > 0, logp, 0.0), axis=-1)
         ce = jnp.clip(ce * labels_weight, 0.0, 2000.0)
         loss_cls = _masked_mean(ce, active) * cfg.cls_2d_lambda
         total = total + loss_cls
