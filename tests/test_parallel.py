@@ -95,3 +95,65 @@ def test_sharded_step_matches_single_device():
     p8 = [np.asarray(x) for x in jax.tree_util.tree_leaves(s8.params)]
     worst = max(float(np.max(np.abs(a - b))) for a, b in zip(p1, p8))
     assert worst < 5e-5, f"param divergence {worst}"
+
+
+def test_sharded_inference_matches_single_device():
+    """Batch-sharded im_detect_3d == single-device: per-image pipelines are
+    chip-local, so sharding the batch over the mesh must not change any
+    detection row (this is the deployment-serving layout: params
+    replicated, images split over ICI-connected chips)."""
+    from groomed_nms_tpu.inference import DetectConfig, im_detect_3d, \
+        rpn_outputs_dict
+    from groomed_nms_tpu.parallel import replicate
+
+    n_dev = len(jax.devices())
+    if n_dev < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    rng = np.random.default_rng(4)
+    a = 4
+    cfg = RPNConfig(num_classes=4, num_anchors=a, prop_features=32,
+                    predict_acceptance_prob=True,
+                    backbone=tiny_densenet_config())
+    model = RPN3D(cfg)
+    h, w = 32, 64
+    fh, fw = h // 16, w // 16
+    templates = np.abs(rng.normal(size=(a, 4))).astype(np.float32)
+    templates[:, 2:] += templates[:, :2] + 16.0
+    priors = np.concatenate(
+        [templates, np.abs(rng.normal(size=(a, 7))).astype(np.float32) + 1.0],
+        axis=1)
+    rois = jnp.asarray(np.asarray(locate_anchors(priors, (fh, fw), 16)))
+    rois_3d = jnp.asarray(
+        np.asarray(priors[np.asarray(rois)[:, 4].astype(np.int64), 4:]))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, h, w, 3)), train=False)
+    b = 8
+    images = rng.normal(size=(b, h, w, 3)).astype(np.float32)
+    p2 = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+    p2[:, 0, 0] = 700.0
+    p2[:, 1, 1] = 700.0
+    p2_inv = np.linalg.inv(p2)
+    scale = np.ones((b,), np.float32)
+    dcfg = DetectConfig(nms_topN_pre=32, nms_topN_post=8)
+
+    def infer(variables, images, p2, p2_inv, scale):
+        out = model.apply(variables, images, train=False)
+        return im_detect_3d(rpn_outputs_dict(out), rois, rois_3d, p2,
+                            p2_inv, scale, np.zeros(13, np.float32),
+                            np.ones(13, np.float32), dcfg)
+
+    results = {}
+    for n in (1, 8):
+        mesh = create_mesh(jax.devices()[:n])
+        rep, dat = replicate(mesh), batch_sharding(mesh)
+        jfn = jax.jit(infer, in_shardings=(rep, dat, dat, dat, dat),
+                      out_shardings=(dat, dat))
+        with mesh:
+            args = shard_batch(mesh, (images, p2, p2_inv, scale))
+            v = jax.device_put(variables, rep)
+            out, valid = jfn(v, *args)
+            results[n] = (np.asarray(out), np.asarray(valid))
+
+    np.testing.assert_array_equal(results[1][1], results[8][1])
+    np.testing.assert_allclose(results[1][0], results[8][0], atol=1e-5)
