@@ -34,14 +34,14 @@ def collect_matches(results_data_dir, gt_dir, cls="Car", score_thresh=0.0,
     for name in sorted(os.listdir(results_data_dir)):
         dets = _rows(os.path.join(results_data_dir, name))
         gts = _rows(os.path.join(gt_dir, name))
-        gt_boxes = [((v[10], v[11] - v[6] / 2, v[12], v[8], v[6], v[9],
+        gt_boxes = [((v[10], v[11] - v[7] / 2, v[12], v[8], v[7], v[9],
                       v[13]), v[1])
                     for c, v in gts if c.lower() == cls.lower()]
         for c, v in dets:
             if c.lower() != cls.lower() or v[14] <= score_thresh or \
                     v[12] > depth_thresh:
                 continue
-            det_box = (v[10], v[11] - v[6] / 2, v[12], v[8], v[6], v[9],
+            det_box = (v[10], v[11] - v[7] / 2, v[12], v[8], v[7], v[9],
                        v[13])
             best_iou, best_occ = 0.0, -1
             for g, occ in gt_boxes:

@@ -27,8 +27,16 @@ def read_metrics(path):
     header, data = rows[0], rows[1:]
     cols = {k: [] for k in header}
     for r in data:
-        for k, v in zip(header, r):
-            cols[k].append(float(v))
+        # the trainer appends while we read: skip short/garbled rows (a
+        # partially-flushed last line) instead of crashing or going ragged
+        if len(r) != len(header):
+            continue
+        try:
+            vals = [float(v) for v in r]
+        except ValueError:
+            continue
+        for k, v in zip(header, vals):
+            cols[k].append(v)
     return header, cols
 
 

@@ -48,14 +48,14 @@ def main():
         dets = _rows(os.path.join(args.results, name))
         gts = _rows(os.path.join(args.gt, name))
         # GT rows: trunc occ alpha x1 y1 x2 y2 h w l x y z ry
-        gt_boxes = [(v[10], v[11] - v[6] / 2, v[12], v[8], v[6], v[9], v[13])
+        gt_boxes = [(v[10], v[11] - v[7] / 2, v[12], v[8], v[7], v[9], v[13])
                     for c, v in gts if c.lower() == args.cls.lower()]
         n_gt += len(gt_boxes)
         for c, v in dets:
             if c.lower() != args.cls.lower() or v[14] <= args.score:
                 continue
             # det rows (KITTI result): ... h w l x y z ry score
-            det_box = (v[10], v[11] - v[6] / 2, v[12], v[8], v[6], v[9],
+            det_box = (v[10], v[11] - v[7] / 2, v[12], v[8], v[7], v[9],
                        v[13])
             best_iou, best_gt = 0.0, None
             for g in gt_boxes:

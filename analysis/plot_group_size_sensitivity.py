@@ -46,26 +46,45 @@ PAPER_DATA = np.array([
 PAPER_GROUP_SIZES = np.array([50, 100, 200, 500])
 
 
+def _eval_in_mirror(rd, gt_dir, overlaps):
+    """Run the evaluator against ``rd``'s detections WITHOUT touching its
+    stats files: the binary always writes ``stats_car_*.txt`` into the
+    results dir, so a side-overlap pass run in place would clobber the
+    main-pass files that later invocations (and other tools) read."""
+    import shutil
+    import tempfile
+
+    from groomed_nms_tpu.eval import run_kitti_eval
+
+    tmp = tempfile.mkdtemp(prefix="gs_eval_")
+    try:
+        os.symlink(os.path.abspath(os.path.join(rd, "data")),
+                   os.path.join(tmp, "data"))
+        return run_kitti_eval(tmp, gt_dir, overlaps)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _collect_from_results(results_dirs, gt_dir):
     """[len(dirs), 12] rows in the PAPER_DATA column layout (R40 APs)."""
-    from groomed_nms_tpu.eval import parse_stats_file, run_kitti_eval
+    from groomed_nms_tpu.eval import parse_stats_file
 
     rows = []
     for rd in results_dirs:
-        def aps(metric, overlaps):
-            path = os.path.join(rd, f"stats_car_{metric}.txt")
-            if overlaps[0] == 0.7 and os.path.exists(path):
-                return parse_stats_file(path)
-            if gt_dir is None:
-                raise SystemExit(f"need --gt to evaluate {rd} at "
-                                 f"overlap {overlaps[0]}")
-            res = run_kitti_eval(rd, gt_dir, overlaps)
-            return res.get(("car", metric), [0.0, 0.0, 0.0])
-
-        row = (aps("detection_3d", (0.7, 0.5, 0.5)) +
-               aps("detection_ground", (0.7, 0.5, 0.5)) +
-               aps("detection_3d", (0.5, 0.25, 0.25)) +
-               aps("detection_ground", (0.5, 0.25, 0.25)))
+        row = []
+        for overlaps in ((0.7, 0.5, 0.5), (0.5, 0.25, 0.25)):
+            res = None
+            for metric in ("detection_3d", "detection_ground"):
+                path = os.path.join(rd, f"stats_car_{metric}.txt")
+                if overlaps[0] == 0.7 and os.path.exists(path):
+                    row += list(parse_stats_file(path))
+                    continue
+                if gt_dir is None:
+                    raise SystemExit(f"need --gt to evaluate {rd} at "
+                                     f"overlap {overlaps[0]}")
+                if res is None:   # one evaluator run covers both metrics
+                    res = _eval_in_mirror(rd, gt_dir, overlaps)
+                row += list(res.get(("car", metric), [0.0, 0.0, 0.0]))
         rows.append(row)
     return np.asarray(rows)
 

@@ -109,8 +109,8 @@ def main():
             if p2 is not None:
                 # det row: ... h w l x y z ry score; y is the box bottom in
                 # KITTI labels -> center at y - h/2
-                draw_3d_box(ax, p2, v[10], v[11] - v[6] / 2, v[12], v[8],
-                            v[6], v[9], v[13])
+                draw_3d_box(ax, p2, v[10], v[11] - v[7] / 2, v[12], v[8],
+                            v[7], v[9], v[13])
 
         out = os.path.join(args.out_dir, iid + ".png")
         fig.savefig(out, bbox_inches="tight")

@@ -13,11 +13,18 @@ def config() -> ExperimentConfig:
         model="kalman",
         max_iter=80000,
         do_test=False,
-        # reference trains only the pose network + confidence/uncertainty
-        # heads in this stage (freeze_blacklist=['pose','conf'] is a
-        # train-whitelist, kitti_3d_full.py:37); these are the equivalent
-        # param-path substrings in this model tree
-        freeze_blacklist=("pose_net", "accept", "uncertainty"),
+        video_count=2,
+        # DELIBERATE DIVERGENCE from the reference's freeze_blacklist=
+        # ['pose','conf'] (kitti_3d_full.py:37, a train-whitelist over the
+        # pose branch): there, pose gradients flow through the kalman-fused
+        # forward while the loss's has_vel is hardcoded False
+        # (lib/loss/rpn_3d.py:186), so ONLY pose_feats/pose/conf train.  In
+        # this framework the pose branch gets direct supervision in
+        # scripts/train_pose.py instead, and this stage fine-tunes the
+        # video model's heads (incl. the real velocity term below) with the
+        # trunk frozen -- the single-frame detector is preserved, as in the
+        # reference.
+        freeze_whitelist=("backbone",),
         snapshot_iter=25000,
         display=250,
         use_nms_in_loss=False,

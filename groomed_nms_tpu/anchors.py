@@ -226,7 +226,14 @@ def compute_targets(rois, rois_3d, gts_2d, gts_3d, gt_labels, gt_valid,
                        labels)
 
     tgt_2d_box = sel(onehot, gts_2d)                       # [R, 4]
-    tgt_3d_row = sel(onehot, gts_3d)                       # [R, K]
+    # gts_3d may carry -inf in the velocity column (track first frame, no
+    # velocity): 0 * -inf = NaN would poison every row of the contraction,
+    # so select from a sanitized table and restore the selected row's
+    # non-finite entries afterwards
+    gts_3d_finite = jnp.isfinite(gts_3d)
+    tgt_3d_sel = sel(onehot, jnp.where(gts_3d_finite, gts_3d, 0.0))
+    sel_finite = sel(onehot, gts_3d_finite.astype(jnp.float32)) > 0.5
+    tgt_3d_row = jnp.where(sel_finite, tgt_3d_sel, -jnp.inf)   # [R, K]
     t2d = bbox_transform(boxes, tgt_2d_box)
     t3d = bbox_transform_3d(boxes, rois_3d, tgt_3d_row,
                             decomp_alpha=decomp_alpha, has_vel=has_vel)

@@ -102,6 +102,9 @@ class ExperimentConfig:
     # velocity regression for the video/kalman model (reference
     # kitti_3d_full.py:43 has_vel=True; adds a bbox_3d channel + stats col 13)
     has_vel: bool = False
+    # clip length for video-model training (reference kitti_3d_full.py:35
+    # video_count=2: previous frame + current)
+    video_count: int = 1
 
     # rng
     rng_seed: int = 5

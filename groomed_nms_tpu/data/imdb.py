@@ -133,15 +133,19 @@ def balance_samples(imdb, lbls, ilbls, min_gt_vis, min_gt_h,
 
 
 def pad_gt_batch(records_gts, p2s, scales, lbls, ilbls, min_gt_vis, min_gt_h,
-                 max_gts=64, max_igns=32):
+                 max_gts=64, max_igns=32, n3d_cols=None):
     """Pad a batch of filtered GT dicts into a fixed-shape GTBatch.
 
     ``records_gts`` entries hold *augmented, image-scale* boxes (bbox_full in
-    xywh at the network input resolution).
+    xywh at the network input resolution).  ``n3d_cols`` fixes the bbox_3d
+    width (17 for has_vel training -- records without tracking velocities
+    are padded with the -inf no-velocity sentinel); default: widest record.
     """
     b = len(records_gts)
+    k3d = n3d_cols or max([g["bbox_3d"].shape[1] for g in records_gts
+                           if g and len(g.get("cls", []))], default=16)
     gts_2d = np.zeros((b, max_gts, 4), np.float32)
-    gts_3d = np.zeros((b, max_gts, 16), np.float32)
+    gts_3d = np.zeros((b, max_gts, k3d), np.float32)
     gt_labels = np.zeros((b, max_gts), np.float32)
     gt_valid = np.zeros((b, max_gts), bool)
     ign_2d = np.zeros((b, max_igns, 4), np.float32)
@@ -161,8 +165,13 @@ def pad_gt_batch(records_gts, p2s, scales, lbls, ilbls, min_gt_vis, min_gt_h,
         nv = min(int(val.sum()), max_gts)
         ni = min(int(ign.sum()), max_igns)
         if nv:
+            rows = gts["bbox_3d"][val][:nv].astype(np.float32)
+            if rows.shape[1] < k3d:
+                rows = np.concatenate(
+                    [rows, np.full((rows.shape[0], k3d - rows.shape[1]),
+                                   -np.inf, np.float32)], axis=1)
             gts_2d[bi, :nv] = corners[val][:nv]
-            gts_3d[bi, :nv] = gts["bbox_3d"][val][:nv]
+            gts_3d[bi, :nv] = rows
             gt_labels[bi, :nv] = lbl_idx[val][:nv]
             gt_valid[bi, :nv] = True
         if ni:

@@ -23,6 +23,15 @@ from .imdb import balance_samples, class_indices, determine_ignores, \
     pad_gt_batch
 
 
+def _vel_pad(bbox_3d, has_vel):
+    """Pad a 16-col bbox_3d to 17 with the -inf no-velocity sentinel when
+    velocity training mixes records with and without tracking labels."""
+    if has_vel and bbox_3d.shape[1] == 16:
+        pad = np.full((bbox_3d.shape[0], 1), -np.inf, bbox_3d.dtype)
+        return np.concatenate([bbox_3d, pad], axis=1)
+    return bbox_3d
+
+
 def _scaled_valid_gts(rec, cfg):
     """Filter + scale one record's GTs to network input resolution."""
     if not rec.gts or len(rec.gts.get("cls", [])) == 0:
@@ -69,10 +78,13 @@ def prepare_anchors(cfg, imdb, cache_dir=None):
         centered = np.stack([c - w / 2, c - h / 2, c + w / 2, c + h / 2],
                             axis=1)
         all_gts2d.append(centered)
-        all_gts3d.append(gts["bbox_3d"][val])
+        all_gts3d.append(_vel_pad(gts["bbox_3d"], cfg.has_vel)[val])
     gts2d = np.concatenate(all_gts2d, 0) if all_gts2d else np.zeros((0, 4))
-    gts3d = np.concatenate(all_gts3d, 0) if all_gts3d else np.zeros((0, 16))
-    anchors = learn_anchor_priors(templates, gts2d.astype(np.float32), gts3d)
+    gts3d = np.concatenate(all_gts3d, 0) if all_gts3d else \
+        np.zeros((0, 17 if cfg.has_vel else 16))
+    anchors = learn_anchor_priors(templates, gts2d.astype(np.float32), gts3d,
+                                  decomp_alpha=cfg.decomp_alpha,
+                                  has_vel=cfg.has_vel)
 
     # pass 2: target statistics via the same device-side assignment the
     # loss uses (guarantees normalisation consistency)
@@ -84,9 +96,15 @@ def prepare_anchors(cfg, imdb, cache_dir=None):
     rois_j = jnp.asarray(rois)
     rois_3d_j = jnp.asarray(rois_3d)
 
-    total = 0
-    s = np.zeros(13, np.float64)
-    sq = np.zeros(13, np.float64)
+    # stats width: [dx dy dw dh | 3D transforms] -- 13 cols, +1 when has_vel
+    # (reference sums/counts at lib/rpn_util.py:628-655; the velocity column
+    # gets its OWN count over rows with finite velocity,
+    # lib/rpn_util.py:637-639, so accumulate per-column with finite masks)
+    n3d = (9 if cfg.decomp_alpha else 7) + (1 if cfg.has_vel else 0)
+    ncols = 4 + n3d
+    cnt = np.zeros(ncols, np.float64)
+    s = np.zeros(ncols, np.float64)
+    sq = np.zeros(ncols, np.float64)
     for rec in imdb:
         sv = _scaled_valid_gts(rec, cfg)
         if sv is None:
@@ -100,27 +118,33 @@ def prepare_anchors(cfg, imdb, cache_dir=None):
                              for k, v in gts.items()}, list(cfg.lbls))
         tgt = compute_targets(
             rois_j, rois_3d_j, jnp.asarray(corners),
-            jnp.asarray(gts["bbox_3d"][val].astype(np.float32)),
+            jnp.asarray(_vel_pad(gts["bbox_3d"], cfg.has_vel)[val]
+                        .astype(np.float32)),
             jnp.asarray(lbl), jnp.ones((corners.shape[0],), bool),
             jnp.zeros((1, 4)), jnp.zeros((1,), bool),
             fg_thresh=cfg.fg_thresh, ign_thresh=cfg.ign_thresh,
             bg_thresh_lo=cfg.bg_thresh_lo, bg_thresh_hi=cfg.bg_thresh_hi,
-            best_thresh=cfg.best_thresh, decomp_alpha=cfg.decomp_alpha)
+            best_thresh=cfg.best_thresh, decomp_alpha=cfg.decomp_alpha,
+            has_vel=cfg.has_vel)
         fg = np.asarray(tgt.fg_mask)
         if not fg.any():
             continue
-        rows = np.concatenate([np.asarray(tgt.transforms_2d)[fg],
-                               np.asarray(tgt.transforms_3d)[fg, :9]], axis=1)
-        rows = rows[np.isfinite(rows).all(axis=1)].astype(np.float64)
-        total += rows.shape[0]
+        rows = np.concatenate(
+            [np.asarray(tgt.transforms_2d)[fg],
+             np.asarray(tgt.transforms_3d)[fg, :n3d]],
+            axis=1).astype(np.float64)
+        finite = np.isfinite(rows)
+        rows = np.where(finite, rows, 0.0)
+        cnt += finite.sum(0)
         s += rows.sum(0)
         sq += (rows ** 2).sum(0)
 
-    if total:
-        means = s / total
-        stds = np.sqrt(np.maximum(sq / total - means ** 2, 1e-12))
+    if cnt.any():
+        denom = np.maximum(cnt, 1.0)
+        means = s / denom
+        stds = np.sqrt(np.maximum(sq / denom - means ** 2, 1e-12))
     else:
-        means, stds = np.zeros(13), np.ones(13)
+        means, stds = np.zeros(ncols), np.ones(ncols)
 
     if cache:
         os.makedirs(cache_dir, exist_ok=True)
@@ -140,6 +164,9 @@ class TrainLoader:
     def __init__(self, imdb, cfg, seed=0, prefetch=4):
         self.imdb = imdb
         self.cfg = cfg
+        # fixed bbox_3d width keeps batch shapes static across batches
+        # (17 when velocity training; records without tracks pad with -inf)
+        self._n3d_cols = 17 if getattr(cfg, "has_vel", False) else None
         self.rng = np.random.default_rng(seed)
         self.weights = balance_samples(imdb, list(cfg.lbls), list(cfg.ilbls),
                                        cfg.min_gt_vis, cfg.min_gt_h,
@@ -196,7 +223,8 @@ class TrainLoader:
 
         gt_batch = pad_gt_batch(gts_list, p2s, scales, list(cfg.lbls),
                                 list(cfg.ilbls), cfg.min_gt_vis, cfg.min_gt_h,
-                                max_gts=cfg.max_gts, max_igns=cfg.max_igns)
+                                max_gts=cfg.max_gts, max_igns=cfg.max_igns,
+                                n3d_cols=self._n3d_cols)
         return {"images_u8": img_arr,
                 "mirror": np.asarray(mirrors, bool),
                 "gt": gt_batch}
@@ -219,6 +247,86 @@ class TrainLoader:
 
     def __iter__(self):
         return self
+
+
+class ClipRecordView:
+    """Expose a :class:`~groomed_nms_tpu.data.tracking.TrackingRecord` with
+    the still-image record interface (``.gts`` = current frame, incl. the
+    velocity column when raw-sequence tracks exist), so ``prepare_anchors``
+    / ``balance_samples`` / the loaders work unchanged on video imdbs."""
+
+    def __init__(self, rec):
+        self.rec = rec
+        self.id = rec.id
+        self.gts = rec.gts_frames[0] if rec.gts_frames else None
+        self.scale = 1.0
+        self.p2 = rec.p2
+        self.p2_inv = rec.p2_inv
+        self.im_h = rec.im_h
+        self.im_w = rec.im_w
+        self.image_paths = rec.image_paths
+
+
+class VideoTrainLoader(TrainLoader):
+    """Clip-batch loader for video-model training (kitti_3d_full stage).
+
+    Same sampling/mirroring/GT semantics as :class:`TrainLoader` on the
+    CURRENT frame (the loss supervises only frame F-1, training/trainer.py::
+    make_video_train_step), but ``images_u8`` is a clip
+    [B, F, H0, W0, 3] ordered oldest -> current; a mirrored sample flips
+    every frame.  ``imdb`` is a tracking imdb (TrackingRecord list) --
+    wrapped in :class:`ClipRecordView` automatically.
+    """
+
+    def __init__(self, imdb, cfg, seed=0, prefetch=4, n_frames=None):
+        self.n_frames = n_frames or max(1, cfg.video_count)
+        views = [r if hasattr(r, "gts") else ClipRecordView(r) for r in imdb]
+        super().__init__(views, cfg, seed=seed, prefetch=prefetch)
+
+    def _make_batch(self):
+        cfg = self.cfg
+        f = self.n_frames
+        gi = self.rng.choice(len(self._size_groups), p=self._group_w)
+        group = self._size_groups[gi]
+        gw = self.weights[group]
+        idx = self.rng.choice(group, size=cfg.batch_size, p=gw / gw.sum())
+        clips, gts_list, p2s, scales, mirrors = [], [], [], [], []
+        for i in idx:
+            rec = self.imdb[i]
+            # image_paths = [cur, prev1, ...]; clip order oldest -> current
+            frames = [self._load_image_path(p)
+                      for p in rec.image_paths[:f][::-1]]
+            mirror = self.rng.random() <= cfg.mirror_prob
+            gts = rec.gts
+            if mirror and gts:
+                gts = mirror_labels(gts, rec.p2_inv, frames[-1].shape[1])
+            scale = cfg.test_scale / frames[-1].shape[0]
+            if gts:
+                gts = scale_labels(gts, scale)
+            clips.append(np.stack(frames))
+            gts_list.append(gts)
+            p2s.append(rec.p2)
+            scales.append(scale)
+            mirrors.append(mirror)
+
+        h0 = max(c.shape[1] for c in clips)
+        w0 = max(c.shape[2] for c in clips)
+        img_arr = np.zeros((cfg.batch_size, f, h0, w0, 3), np.uint8)
+        for bi, c in enumerate(clips):
+            img_arr[bi, :, :c.shape[1], :c.shape[2]] = c
+
+        gt_batch = pad_gt_batch(gts_list, p2s, scales, list(cfg.lbls),
+                                list(cfg.ilbls), cfg.min_gt_vis, cfg.min_gt_h,
+                                max_gts=cfg.max_gts, max_igns=cfg.max_igns,
+                                n3d_cols=self._n3d_cols)
+        return {"images_u8": img_arr,
+                "mirror": np.asarray(mirrors, bool),
+                "gt": gt_batch}
+
+    def _load_image_path(self, path):
+        from PIL import Image
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
 
 
 def device_prefetch(host_iter, transform=None, depth=2):

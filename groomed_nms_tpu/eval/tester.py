@@ -14,12 +14,45 @@ device transfers are prefetched so IO hides behind compute.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import time
 from collections import defaultdict
 
 import numpy as np
+
+
+def _make_infer(model, dcfg, target_h, crop_w):
+    """Jitted preprocess+forward+detect, cached per (model, cfg, size).
+
+    ``model`` (a frozen flax dataclass) and the detect config are hashable,
+    so repeated ``test_kitti_3d`` calls -- e.g. snapshot-time eval at every
+    ``snapshot_iter`` -- reuse the compiled graph instead of paying the
+    multi-minute remote recompile per call (CLAUDE.md: one jitted graph per
+    benchmark)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.augment import preprocess_images
+    from ..inference import im_detect_3d, rpn_outputs_dict
+
+    @jax.jit
+    def infer(variables, images_u8, means_img, stds_img, rois, rois_3d,
+              p2, p2_inv, scale, bbox_means, bbox_stds):
+        images = preprocess_images(
+            images_u8, jnp.zeros((images_u8.shape[0],), bool), means_img,
+            stds_img, target_h=target_h, crop_w=crop_w)
+        out = model.apply(variables, images, train=False)
+        return im_detect_3d(rpn_outputs_dict(out), rois, rois_3d, p2,
+                            p2_inv, scale, bbox_means, bbox_stds, dcfg)
+
+    return infer
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_infer(model, dcfg, target_h, crop_w):
+    return _make_infer(model, dcfg, target_h, crop_w)
 
 
 def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
@@ -36,10 +69,8 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
     import jax
     import jax.numpy as jnp
 
-    from ..data.augment import preprocess_images
     from ..data.pipeline import device_prefetch
-    from ..inference import clip_detections, im_detect_3d, \
-        rpn_outputs_dict, write_kitti_detections
+    from ..inference import clip_detections, write_kitti_detections
     from ..parallel import batch_sharding, create_mesh
     from .kitti_eval import evaluate_kitti_results_verbose
 
@@ -63,14 +94,12 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
         batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
         log_fn(f"batch rounded to {batch_size} for {n_dev} devices")
 
-    @jax.jit
+    _infer = _cached_infer(model, dcfg, cfg.crop_size[0], cfg.crop_size[1])
+
     def infer(images_u8, p2, p2_inv, scale):
-        images = preprocess_images(
-            images_u8, jnp.zeros((images_u8.shape[0],), bool), means_img,
-            stds_img, target_h=cfg.crop_size[0], crop_w=cfg.crop_size[1])
-        out = model.apply(variables, images, train=False)
-        return im_detect_3d(rpn_outputs_dict(out), rois_j, rois_3d_j, p2,
-                            p2_inv, scale, bbox_means_j, bbox_stds_j, dcfg)
+        return _infer(variables, images_u8, means_img, stds_img, rois_j,
+                      rois_3d_j, p2, p2_inv, scale, bbox_means_j,
+                      bbox_stds_j)
 
     # group same-sized images into device batches (one compile per size);
     # decode images in a thread pool so host IO hides behind device compute

@@ -93,50 +93,14 @@ def make_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
     frozen, pass ``train_bn=False`` instead: that also normalizes by the
     running stats in the forward pass, the exact eval-mode semantics.
     """
-    from ..losses.rpn_3d import GTBatch
+    def extract(out, batch):
+        return {"cls": out.cls, "prob": out.prob,
+                "bbox_2d": out.bbox_2d, "bbox_3d": out.bbox_3d,
+                "accept_prob": out.accept_prob,
+                "uncertainty": out.uncertainty}
 
-    def train_step(state: TrainState, batch):
-        gt = GTBatch(
-            gts_2d=batch["gts_2d"], gts_3d=batch["gts_3d"],
-            gt_labels=batch["gt_labels"], gt_valid=batch["gt_valid"],
-            ign_2d=batch["ign_2d"], ign_valid=batch["ign_valid"],
-            p2=batch["p2"], scale=batch["scale"])
-
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            if train_bn:
-                out, mutated = state.apply_fn(
-                    variables, batch["images"], train=True,
-                    mutable=["batch_stats"])
-                new_bs = mutated["batch_stats"]
-                if frozen_stats_mask is not None:
-                    new_bs = jax.tree_util.tree_map(
-                        lambda frozen, old, new: old if frozen else new,
-                        frozen_stats_mask, state.batch_stats, new_bs)
-            else:
-                out = state.apply_fn(variables, batch["images"], train=False)
-                new_bs = state.batch_stats
-            outputs = {"cls": out.cls, "prob": out.prob,
-                       "bbox_2d": out.bbox_2d, "bbox_3d": out.bbox_3d,
-                       "accept_prob": out.accept_prob,
-                       "uncertainty": out.uncertainty}
-            loss, stats, new_un = rpn_3d_loss(
-                outputs, rois, rois_3d, gt, bbox_means, bbox_stds,
-                state.un_state, loss_cfg)
-            return loss, (stats, new_un, new_bs)
-
-        (loss, (stats, new_un, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-
-        updates, new_opt = state.tx.update(grads, state.opt_state,
-                                           state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1, params=new_params, batch_stats=new_bs,
-            opt_state=new_opt, un_state=new_un)
-        return new_state, stats
-
-    return train_step
+    return _make_step(loss_cfg, rois, rois_3d, bbox_means, bbox_stds,
+                      train_bn, frozen_stats_mask, extract)
 
 
 def make_video_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
@@ -150,6 +114,32 @@ def make_video_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
     frame only (train_rpn_3d.py:131-141 with the kalman model; the pose head
     is trained by scripts/train_pose.py as in the reference's train_pose).
     """
+
+    def extract(out, batch):
+        b, f = batch["images"].shape[:2]
+
+        def last_frame(x):
+            return None if x is None else \
+                x.reshape(b, f, *x.shape[1:])[:, -1]
+
+        fo = out.frame_outputs  # leading dim B*F
+        return {"cls": last_frame(fo.cls), "prob": last_frame(fo.prob),
+                "bbox_2d": last_frame(fo.bbox_2d),
+                "bbox_3d": last_frame(fo.bbox_3d),
+                "accept_prob": last_frame(fo.accept_prob),
+                "uncertainty": last_frame(fo.uncertainty)}
+
+    return _make_step(loss_cfg, rois, rois_3d, bbox_means, bbox_stds,
+                      train_bn, frozen_stats_mask, extract)
+
+
+def _make_step(loss_cfg, rois, rois_3d, bbox_means, bbox_stds, train_bn,
+               frozen_stats_mask, extract_outputs):
+    """Shared step body: forward (+BN mutation/freezing) -> loss -> update.
+
+    ``extract_outputs(out, batch)`` maps the model's return value to the
+    outputs dict the loss consumes -- the only difference between the
+    still-image and video steps."""
     from ..losses.rpn_3d import GTBatch
 
     def train_step(state: TrainState, batch):
@@ -158,11 +148,6 @@ def make_video_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
             gt_labels=batch["gt_labels"], gt_valid=batch["gt_valid"],
             ign_2d=batch["ign_2d"], ign_valid=batch["ign_valid"],
             p2=batch["p2"], scale=batch["scale"])
-        b, f = batch["images"].shape[:2]
-
-        def last_frame(x):
-            return None if x is None else \
-                x.reshape(b, f, *x.shape[1:])[:, -1]
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -178,20 +163,14 @@ def make_video_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
             else:
                 out = state.apply_fn(variables, batch["images"], train=False)
                 new_bs = state.batch_stats
-            fo = out.frame_outputs  # leading dim B*F
-            outputs = {"cls": last_frame(fo.cls),
-                       "prob": last_frame(fo.prob),
-                       "bbox_2d": last_frame(fo.bbox_2d),
-                       "bbox_3d": last_frame(fo.bbox_3d),
-                       "accept_prob": last_frame(fo.accept_prob),
-                       "uncertainty": last_frame(fo.uncertainty)}
             loss, stats, new_un = rpn_3d_loss(
-                outputs, rois, rois_3d, gt, bbox_means, bbox_stds,
-                state.un_state, loss_cfg)
+                extract_outputs(out, batch), rois, rois_3d, gt, bbox_means,
+                bbox_stds, state.un_state, loss_cfg)
             return loss, (stats, new_un, new_bs)
 
         (loss, (stats, new_un, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -192,3 +192,35 @@ def assemble_video_variables(video_model, single_frame_state, pose_npz=None,
 
         params["pose_net"] = fill(pose)
     return {"params": params, "batch_stats": stats}
+
+
+def widen_fused_head_for_velocity(params, num_anchors, num_classes):
+    """Insert a zero-init velocity channel into a fused head kernel/bias.
+
+    Warm-starting the video model (n_box3d=11) from a single-frame `_un`
+    checkpoint (n_box3d=10) needs the per-anchor channel block widened from
+    ``C+4+10+unc`` to ``C+4+11+unc``; the new vel channel starts at zero so
+    the decoded velocity equals the anchor's learned velocity prior.
+    Mirrors the reference staging where the kalman model reuses the `_un`
+    weights (scripts/config/kitti_3d_full.py:39) and the vel channel is not
+    covered by them.
+    """
+    head = params["head"]
+    kernel = np.asarray(head["kernel"])      # [1, 1, in, A*per]
+    bias = np.asarray(head["bias"])
+    a, c = num_anchors, num_classes
+    per = kernel.shape[-1] // a
+    vel_pos = c + 4 + 10                     # after the head(sig) channel
+    new_per = per + 1
+    nk = np.zeros(kernel.shape[:-1] + (a * new_per,), kernel.dtype)
+    nb = np.zeros((a * new_per,), bias.dtype)
+    for ai in range(a):
+        src, dst = ai * per, ai * new_per
+        nk[..., dst:dst + vel_pos] = kernel[..., src:src + vel_pos]
+        nb[dst:dst + vel_pos] = bias[src:src + vel_pos]
+        nk[..., dst + vel_pos + 1:dst + new_per] = \
+            kernel[..., src + vel_pos:src + per]
+        nb[dst + vel_pos + 1:dst + new_per] = bias[src + vel_pos:src + per]
+    out = dict(params)
+    out["head"] = {"kernel": nk, "bias": nb}
+    return out

@@ -59,10 +59,21 @@ def main():
     log = logging.getLogger(__name__)
     cfg.dump(os.path.join(out_dir, "conf.json"))
 
+    is_video = cfg.model == "kalman"
     root = os.path.join(args.data_root, cfg.dataset_train)
-    imdb = build_imdb(root, "training", use_3d_for_2d=cfg.use_3d_for_2d,
-                      cache_file=os.path.join(out_dir, "imdb.pkl"),
-                      im_ext=cfg.im_ext)
+    if is_video:
+        # video stage (reference kitti_3d_full): tracking imdb with per-
+        # object velocities; clips of cfg.video_count frames
+        from groomed_nms_tpu.data.pipeline import ClipRecordView
+        from groomed_nms_tpu.data.tracking import build_tracking_imdb
+        imdb = [ClipRecordView(r) for r in build_tracking_imdb(
+            root, "training", use_3d_for_2d=cfg.use_3d_for_2d,
+            cache_file=os.path.join(out_dir, "imdb.pkl"),
+            im_ext=cfg.im_ext)]
+    else:
+        imdb = build_imdb(root, "training", use_3d_for_2d=cfg.use_3d_for_2d,
+                          cache_file=os.path.join(out_dir, "imdb.pkl"),
+                          im_ext=cfg.im_ext)
     log.info("imdb: %d images", len(imdb))
 
     # anchors + stats: optionally copied from the warmup run (copy_stats)
@@ -78,7 +89,12 @@ def main():
     rois = np.asarray(locate_anchors(anchors, feat_hw, cfg.feat_stride))
     rois_3d = anchors[rois[:, 4].astype(np.int64), 4:]
 
-    model = RPN3D(cfg.rpn_config(anchors.shape[0]))
+    rpn_cfg = cfg.rpn_config(anchors.shape[0])
+    if is_video:
+        from groomed_nms_tpu.models.video import VideoConfig, VideoRPN3D
+        model = VideoRPN3D(VideoConfig(rpn=rpn_cfg))
+    else:
+        model = RPN3D(rpn_cfg)
     schedule = build_lr_schedule(cfg.lr, cfg.max_iter, cfg.lr_policy,
                                  cfg.lr * cfg.lr_target_factor, cfg.lr_steps,
                                  warmup_iters=cfg.warmup_iters)
@@ -88,15 +104,41 @@ def main():
     # init at a tiny spatial size: conv/BN param shapes are H/W-free and
     # this skips a throwaway full-resolution compile (~10 min through the
     # remote-compile tunnel)
-    state = create_train_state(model, (1, 64, 64, 3), tx,
+    init_shape = (1, max(1, cfg.video_count), 64, 64, 3) if is_video \
+        else (1, 64, 64, 3)
+    state = create_train_state(model, init_shape, tx,
                                rng=jax.random.PRNGKey(cfg.rng_seed))
 
     if args.restore is not None:
         state = restore_checkpoint(out_dir, state, args.restore)
         log.info("restored iter %d", int(state.step))
     elif cfg.pretrained and latest_checkpoint(cfg.pretrained) is not None:
-        state = restore_checkpoint(cfg.pretrained, state,
-                                   restore_optimizer=False)
+        if is_video:
+            # warm-start the rpn subtree from the single-frame `_un`
+            # checkpoint (reference kitti_3d_full.py:39); its fused head
+            # has no velocity channel, so widen it with a zero-init one
+            import dataclasses
+            from groomed_nms_tpu.utils.torch_weights import \
+                assemble_video_variables, widen_fused_head_for_velocity
+            sf_cfg = dataclasses.replace(rpn_cfg, predict_velocity=False)
+            sf_state = create_train_state(RPN3D(sf_cfg), (1, 64, 64, 3), tx)
+            sf_state = restore_checkpoint(cfg.pretrained, sf_state,
+                                          restore_optimizer=False)
+            if rpn_cfg.predict_velocity:
+                sf_state = sf_state.replace(
+                    params=widen_fused_head_for_velocity(
+                        sf_state.params, rpn_cfg.num_anchors,
+                        rpn_cfg.num_classes))
+            pose_npz = os.path.join(cfg.pretrained, "pose_net_params.npz")
+            variables = assemble_video_variables(
+                model, sf_state,
+                pose_npz if os.path.exists(pose_npz) else None,
+                example_shape=init_shape)
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
+        else:
+            state = restore_checkpoint(cfg.pretrained, state,
+                                       restore_optimizer=False)
         state = state.replace(step=jnp.zeros((), jnp.int32))
         log.info("warm-started from %s", cfg.pretrained)
 
@@ -124,13 +166,23 @@ def main():
         # reference semantics (module.eval() normalizes by running stats)
         train_bn = not all_stats_frozen(frozen_mask)
 
-    step_fn = make_train_step(cfg.loss_config(), jnp.asarray(rois),
-                              jnp.asarray(rois_3d), means.astype(np.float32),
-                              stds.astype(np.float32), train_bn=train_bn,
-                              frozen_stats_mask=frozen_mask)
+    if is_video:
+        from groomed_nms_tpu.data.pipeline import VideoTrainLoader
+        from groomed_nms_tpu.training import make_video_train_step
+        step_fn = make_video_train_step(
+            cfg.loss_config(), jnp.asarray(rois), jnp.asarray(rois_3d),
+            means.astype(np.float32), stds.astype(np.float32),
+            train_bn=train_bn, frozen_stats_mask=frozen_mask)
+        loader = VideoTrainLoader(imdb, cfg, seed=cfg.rng_seed)
+    else:
+        step_fn = make_train_step(cfg.loss_config(), jnp.asarray(rois),
+                                  jnp.asarray(rois_3d),
+                                  means.astype(np.float32),
+                                  stds.astype(np.float32), train_bn=train_bn,
+                                  frozen_stats_mask=frozen_mask)
+        loader = TrainLoader(imdb, cfg, seed=cfg.rng_seed)
     mesh = create_mesh()
     sharded_step = shard_train_step(step_fn, mesh)
-    loader = TrainLoader(imdb, cfg, seed=cfg.rng_seed)
     tracker = StatTracker(cfg.max_iter, cfg.display)
     from groomed_nms_tpu.training.stats import MetricsCSV
     metrics_csv = MetricsCSV(os.path.join(out_dir, "metrics.csv"))
@@ -143,6 +195,20 @@ def main():
     batch_counter = [0]
 
     def to_device_batch(hb):
+        if is_video:
+            # clip [B, F, H0, W0, 3]: preprocess frames flat (mirror flag
+            # repeated per frame so a mirrored sample flips the whole clip)
+            u8 = hb["images_u8"]
+            b_, f_ = u8.shape[:2]
+            flat = preprocess_images(
+                jnp.asarray(u8.reshape((b_ * f_,) + u8.shape[2:])),
+                jnp.asarray(np.repeat(hb["mirror"], f_)),
+                means_img, stds_img, target_h=cfg.crop_size[0],
+                crop_w=cfg.crop_size[1])
+            images = flat.reshape(b_, f_, cfg.crop_size[0],
+                                  cfg.crop_size[1], 3)
+            return shard_batch(mesh, dict(images=images,
+                                          **hb["gt"]._asdict()))
         if cfg.distort_prob > 0:
             # fresh fold per batch; photometric jitter fuses into the same
             # preprocess program (reference lib/augmentations.py:339-376)
@@ -165,6 +231,13 @@ def main():
 
     def snapshot_eval(iteration):
         nonlocal val_imdb
+        if is_video:
+            # the still-image eval path can't consume clips; the video model
+            # is evaluated by scripts/test_kalman.py (reference does the
+            # same: kitti_3d_full sets do_test False + test_kalman.py)
+            log.info("snapshot eval skipped for the video model; "
+                     "use scripts/test_kalman.py")
+            return
         from groomed_nms_tpu.eval.tester import test_kitti_3d
         val_root = os.path.join(args.data_root, cfg.dataset_test)
         if val_imdb is None:

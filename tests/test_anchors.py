@@ -166,3 +166,34 @@ def test_compute_bbox_stats():
     np.testing.assert_allclose(means, [[3.0, 4.0]])
     np.testing.assert_allclose(stds, np.array([[np.std([1, 3, 5]), np.std([2, 4, 6])]]),
                                rtol=1e-6)
+
+
+def test_compute_targets_inf_velocity_does_not_poison_other_rois():
+    """A -inf velocity on ONE GT (track first frame) must only propagate to
+    rois matched to THAT GT; rois matched to finite-velocity GTs keep
+    finite velocity targets (regression: the one-hot row-select turned
+    0 * -inf into NaN for every roi in the image)."""
+    rng = np.random.default_rng(3)
+    r = 8
+    rois = np.zeros((r, 5), np.float32)
+    rois[:4, :4] = [0, 0, 20, 20]
+    rois[4:, :4] = [100, 100, 130, 130]
+    rois_3d = np.abs(rng.normal(size=(r, 8))).astype(np.float32) + 1.0
+    gts_2d = np.array([[0, 0, 20, 20], [100, 100, 130, 130]], np.float32)
+    gts_3d = np.zeros((2, 17), np.float32)
+    gts_3d[:, 2] = 20.0
+    gts_3d[:, 3:6] = 2.0
+    gts_3d[0, 16] = 2.0          # finite velocity
+    gts_3d[1, 16] = -np.inf      # no velocity (first frame)
+    tgt = compute_targets(
+        jnp.asarray(rois), jnp.asarray(rois_3d), jnp.asarray(gts_2d),
+        jnp.asarray(gts_3d), jnp.ones(2), jnp.ones(2, bool),
+        jnp.zeros((1, 4)), jnp.zeros(1, bool),
+        fg_thresh=0.5, ign_thresh=0.5, bg_thresh_lo=0.1, bg_thresh_hi=0.5,
+        best_thresh=0.3, decomp_alpha=True, has_vel=True)
+    vel = np.asarray(tgt.transforms_3d)[:, -1]
+    fg = np.asarray(tgt.fg_mask)
+    assert fg[:4].all() and fg[4:].all()
+    assert np.isfinite(vel[:4]).all(), vel      # matched to the finite GT
+    assert not np.isfinite(vel[4:]).any(), vel  # matched to the -inf GT
+    assert not np.isnan(vel).any(), vel
