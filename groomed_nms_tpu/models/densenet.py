@@ -69,6 +69,9 @@ class DenseNetConfig:
     # same conv0/kernel param (scattered at apply time), 2x the MXU
     # contraction utilization with zero data movement.
     stem_space_to_depth: bool = True
+    # width-fold factor for the s2d stem: 2 (one conv, 6 channels) or 4
+    # (even/odd phase convs, 12 channels -- see stem_s2d4_conv)
+    stem_fold: int = 2
 
     @property
     def out_features(self) -> int:
@@ -324,10 +327,50 @@ def stem_s2d_conv(x, k, dtype, stem_features):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def stem_s2d4_conv(x, k, dtype, stem_features):
+    """7x7/s2 stem conv on a width-folded-by-4 input (two phase convs).
+
+    Exact identity like :func:`stem_s2d_conv` but with 12 input channels
+    (4 width phases x 3): even output columns q=2m come from a [7, 2, 12,
+    O] conv over folded cells m-1..m, odd columns q=2m+1 from a [7, 3, 12,
+    O] conv over m-1..m+1; the two outputs interleave with a free reshape.
+    25% more MACs than the fold-2 form (zero-padded taps) but twice the
+    MXU contraction-lane packing.
+    """
+    import jax
+
+    b_, h, w, c = x.shape
+    o = stem_features
+    ke = jnp.zeros((7, 2, 4, c, o), k.dtype)
+    ko = jnp.zeros((7, 3, 4, c, o), k.dtype)
+    for t in range(1, 4):                     # even, cell m-1: v = t-1
+        ke = ke.at[:, 0, t].set(k[:, t - 1])
+    for t in range(4):                        # even, cell m:   v = t+3
+        ke = ke.at[:, 1, t].set(k[:, t + 3])
+    ko = ko.at[:, 0, 3].set(k[:, 0])          # odd, cell m-1:  v = 0
+    for t in range(4):                        # odd, cell m:    v = t+1
+        ko = ko.at[:, 1, t].set(k[:, t + 1])
+    for t in range(2):                        # odd, cell m+1:  v = t+5
+        ko = ko.at[:, 2, t].set(k[:, t + 5])
+    ke = ke.reshape(7, 2, 4 * c, o).astype(dtype)
+    ko = ko.reshape(7, 3, 4 * c, o).astype(dtype)
+    xs = x.reshape(b_, h, w // 4, 4 * c).astype(dtype)
+    even = jax.lax.conv_general_dilated(
+        xs, ke, window_strides=(2, 1), padding=((3, 3), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    odd = jax.lax.conv_general_dilated(
+        xs, ko, window_strides=(2, 1), padding=((3, 3), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    oh, ow = even.shape[1], even.shape[2]
+    return jnp.stack([even, odd], axis=3).reshape(b_, oh, ow * 2, o)
+
+
 def _stem_conv_s2d(parent, x, cfg):
     # declare the standard conv0/kernel param via a scoped child so the
     # tree path matches nn.Conv(name='conv0') exactly
     k = StemKernel(x.shape[-1], cfg.stem_features, name="conv0")()
+    if cfg.stem_fold == 4 and x.shape[2] % 4 == 0:
+        return stem_s2d4_conv(x, k, cfg.dtype, cfg.stem_features)
     return stem_s2d_conv(x, k, cfg.dtype, cfg.stem_features)
 
 
