@@ -157,7 +157,8 @@ def test_config_modules_load():
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     for name in ("groomed_nms", "kitti_3d_warmup", "self_balancing",
-                 "kitti_3d_uncertainty"):
+                 "kitti_3d_uncertainty", "kitti_3d_full",
+                 "groomed_nms_full_train_2"):
         cfg = load_config(name)
         assert cfg.name == name
         lc = cfg.loss_config()

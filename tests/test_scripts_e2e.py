@@ -129,3 +129,38 @@ def test_dashboard_renders_from_metrics_csv(tmp_path):
     assert "<h2>accuracy</h2>" in html_text
     assert "Configuration" in html_text
     assert "__DATA__" in html_text
+
+
+@pytest.mark.slow
+def test_train_script_video_dispatch(tmp_path):
+    """scripts/train.py --config <model=kalman> trains VideoRPN3D on a
+    synthetic tracking tree through the real CLI path (tracking imdb ->
+    clip loader -> video step with the trunk frozen)."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_video_pipeline import _make_tracking_tree
+
+    data_root = tmp_path / "data"
+    _make_tracking_tree(str(data_root / "kitti_split1"), n_prev=1)
+    out_root = tmp_path / "output"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    train = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train.py"),
+         "--config", "tiny_video_synthetic", "--data-root", str(data_root),
+         "--output", str(out_root)],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert train.returncode == 0, train.stderr[-3000:]
+    out_dir = out_root / "tiny_video_synthetic"
+    weights = out_dir / "weights"
+    assert weights.is_dir() and any(weights.iterdir())
+    # velocity-aware artifacts: 12-col anchors, 14-col stats
+    z = np.load(out_dir / "anchors.npz")
+    assert z["anchors"].shape[1] == 12
+    assert z["bbox_means"].shape == (14,)
+    log_text = (out_dir / "train.log").read_text()
+    assert "freezing" in log_text
