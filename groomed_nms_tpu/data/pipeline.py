@@ -46,6 +46,17 @@ def _scaled_valid_gts(rec, cfg):
     return gts, val, scale
 
 
+def anchor_stat_widths(cfg):
+    """Expected ``anchors.npz`` column widths for this config's layout.
+
+    anchors: [x1 y1 x2 y2 z w3d h3d l3d rotY (sin cos) (vel)];
+    stats:   [dx dy dw dh | n3d transform columns].
+    """
+    a_cols = 9 + (2 if cfg.decomp_alpha else 0) + (1 if cfg.has_vel else 0)
+    s_cols = 4 + (9 if cfg.decomp_alpha else 7) + (1 if cfg.has_vel else 0)
+    return a_cols, s_cols
+
+
 def prepare_anchors(cfg, imdb, cache_dir=None):
     """Learn per-anchor 3D priors + target mean/std over the imdb.
 
@@ -58,7 +69,20 @@ def prepare_anchors(cfg, imdb, cache_dir=None):
     cache = os.path.join(cache_dir, "anchors.npz") if cache_dir else None
     if cache and os.path.exists(cache):
         z = np.load(cache)
-        return z["anchors"], z["bbox_means"], z["bbox_stds"]
+        a_cols, s_cols = anchor_stat_widths(cfg)
+        if (z["anchors"].shape[1] == a_cols
+                and z["bbox_means"].shape[0] == s_cols):
+            return z["anchors"], z["bbox_means"], z["bbox_stds"]
+        # layout mismatch (e.g. a warmup-stage anchors.npz without the
+        # velocity column reused for a has_vel stage): recompute rather than
+        # crash later at trace time with an opaque slice error
+        if not len(imdb):
+            raise ValueError(
+                f"cached {cache} has anchors/stats widths "
+                f"{z['anchors'].shape[1]}/{z['bbox_means'].shape[0]}, "
+                f"expected {a_cols}/{s_cols} for has_vel={cfg.has_vel} "
+                f"decomp_alpha={cfg.decomp_alpha}; cannot recompute from an "
+                "empty imdb")
 
     templates = generate_anchor_templates(cfg.anchor_scales,
                                           cfg.anchor_ratios, cfg.feat_stride)
@@ -293,9 +317,7 @@ class VideoTrainLoader(TrainLoader):
         clips, gts_list, p2s, scales, mirrors = [], [], [], [], []
         for i in idx:
             rec = self.imdb[i]
-            # image_paths = [cur, prev1, ...]; clip order oldest -> current
-            frames = [self._load_image_path(p)
-                      for p in rec.image_paths[:f][::-1]]
+            frames = self._load_clip(rec)
             mirror = self.rng.random() <= cfg.mirror_prob
             gts = rec.gts
             if mirror and gts:
@@ -327,6 +349,32 @@ class VideoTrainLoader(TrainLoader):
         from PIL import Image
         with Image.open(path) as im:
             return np.asarray(im.convert("RGB"), np.uint8)
+
+    def _load_clip(self, rec):
+        """Load ``n_frames`` frames ordered oldest -> current.
+
+        Robust to short clips and missing/size-mismatched history frames
+        (sequence starts have no prev_2): a gap is filled by repeating the
+        nearest newer frame, yielding zero apparent motion -- consistent
+        with the -inf no-velocity label sentinel already used for GTs.
+        The CURRENT frame (the supervised one) must exist."""
+        f = self.n_frames
+        paths = rec.image_paths[:f]  # [cur, prev1, prev2, ...]
+        cur = self._load_image_path(paths[0])
+        loaded = [cur]
+        for p in paths[1:]:
+            try:
+                img = self._load_image_path(p)
+                if img.shape != cur.shape:
+                    img = None  # size-mismatched history frame: drop
+            except (FileNotFoundError, OSError):
+                img = None
+            loaded.append(img)
+        full = [cur]
+        for k in range(1, f):
+            img = loaded[k] if k < len(loaded) else None
+            full.append(img if img is not None else full[k - 1])
+        return full[::-1]
 
 
 def device_prefetch(host_iter, transform=None, depth=2):

@@ -135,6 +135,16 @@ class LossConfig:
     max_nms_boxes: int = 512
     max_ap_boxes: int = 1024
 
+    def __post_init__(self):
+        # the velocity column layout (t3d col 9 / bbox_3d col 10) exists
+        # only under decomp_alpha -- bbox_transform_3d appends dvel after
+        # the sin/cos pair; fail early with a clear message instead of an
+        # opaque out-of-bounds slice at trace time
+        if self.has_vel and not self.decomp_alpha:
+            raise ValueError("has_vel=True requires decomp_alpha=True "
+                             "(velocity targets are laid out after the "
+                             "alpha sin/cos columns)")
+
 
 def _smooth_l1(x, t):
     d = jnp.abs(x - t)

@@ -65,20 +65,26 @@ def pruning_function(overlap, nms_threshold=0.4, temperature=0.01,
     raise NotImplementedError(f"pruning method {pruning_method!r}")
 
 
-def soft_sort(scores, full_matrix=None, temperature=0.01):
+def soft_sort(scores, full_matrix=None, temperature=0.01,
+              reference_norm=False):
     """SoftSort (Prillo et al., ICML 2020) continuous argsort.
 
     Row-softmax of ``-|s - sort(s)^T| / T``; also soft-permutes
-    ``full_matrix`` rows.  Reference lib/groomed_nms.py:131-165.  (The
-    reference's final normalisation divides by *column* sums due to a torch
-    broadcasting quirk; we use the standard row normalisation with the same
-    ``+1e-3`` stabiliser.)
+    ``full_matrix`` rows.  Reference lib/groomed_nms.py:131-165.
+
+    The reference's final normalisation divides entry (i, j) by *row j's*
+    sum instead of row i's -- a torch ``[N, N] / [N]`` broadcasting accident
+    (lib/groomed_nms.py:155-156 broadcasts the row-sum vector along dim 0,
+    i.e. per column).  By default we use the standard row normalisation
+    (same ``+1e-3`` stabiliser); pass ``reference_norm=True`` to reproduce
+    the quirk bit-for-bit for ablation parity.
     """
     hard_sorted = jnp.sort(scores)[::-1]
     logits = -jnp.abs(scores[None, :] - hard_sorted[:, None]) / temperature
     logits = logits - logits.max(axis=1, keepdims=True)
     weights = jnp.exp(logits)
-    weights = weights / (weights.sum(axis=1, keepdims=True) + 1e-3)
+    denom = weights.sum(axis=1) + 1e-3
+    weights = weights / (denom[None, :] if reference_norm else denom[:, None])
     soft_scores = weights @ scores
     if full_matrix is None:
         return soft_scores, weights
@@ -128,6 +134,7 @@ def group_leaders(iou_sorted, scores_sorted, valid_sorted, nms_threshold,
         "nms_threshold", "pruning_method", "temperature",
         "valid_box_prob_threshold", "sorting_method", "sorting_temperature",
         "group_boxes", "mask_group_boxes", "group_size",
+        "reference_soft_sort",
     ),
 )
 def differentiable_nms(scores, overlaps, valid_mask=None, *,
@@ -135,7 +142,7 @@ def differentiable_nms(scores, overlaps, valid_mask=None, *,
                        temperature=0.01, valid_box_prob_threshold=0.3,
                        sorting_method="hard", sorting_temperature=None,
                        group_boxes=True, mask_group_boxes=True,
-                       group_size=100):
+                       group_size=100, reference_soft_sort=False):
     """GrooMeD-NMS forward. See module docstring.
 
     Args:
@@ -143,6 +150,15 @@ def differentiable_nms(scores, overlaps, valid_mask=None, *,
       overlaps: [N, N] overlap matrix (2D IoU, mapped 3D GIoU, or product);
         diagonal is assumed ~1 for real boxes.
       valid_mask: optional [N] bool marking real (non-padding) boxes.
+      reference_soft_sort: reproduce the reference's soft-sort path
+        bit-for-bit (only meaningful with ``sorting_method="soft"``).  The
+        reference path has TWO quirks (lib/groomed_nms.py:42-48, 155-156):
+        the SoftSort weights are column-sum normalised (a torch broadcasting
+        accident), and the overlap matrix is soft-permuted along ROWS ONLY
+        (``W @ iou_unsorted`` -- its columns stay in input order), so the
+        subsequent ``tril`` acts in mixed coordinates.  Default False uses
+        the cleaner hard-presort + row-normalised formulation.  Quirk mode
+        is for ablation parity; use it with all-valid (unpadded) inputs.
 
     Returns a :class:`GroomedNMSResult` in the input box order.  Matching
     the reference's return quirk (lib/groomed_nms.py:114-127), sub-threshold
@@ -163,22 +179,36 @@ def differentiable_nms(scores, overlaps, valid_mask=None, *,
     # -- sort by score descending, padding last ---------------------------
     sort_key = jnp.where(valid_mask, scores, -jnp.inf)
     order = jnp.argsort(-sort_key, stable=True).astype(jnp.int32)
-    s = scores[order]
-    m = overlaps[order][:, order]
     v = valid_mask[order]
-    s = jnp.where(v, s, 0.0)
 
-    if sorting_method == "soft":
+    if sorting_method == "soft" and reference_soft_sort:
         st = temperature if sorting_temperature is None else sorting_temperature
-        s, _, m = soft_sort(s, full_matrix=m, temperature=st)
-        # soft-sorted scores may not be monotone; grouping re-sorts hard, as
-        # get_groups does on its inputs (lib/groomed_nms.py:213-214).
-        g_order = jnp.argsort(-jnp.where(v, s, -jnp.inf), stable=True).astype(jnp.int32)
+        # quirk-exact: weights from the RAW scores, column-normalised;
+        # overlap rows soft-permuted, columns left in input order
+        s, _, m = soft_sort(jnp.where(valid_mask, scores, 0.0),
+                            full_matrix=overlaps, temperature=st,
+                            reference_norm=True)
+        g_order = jnp.argsort(-jnp.where(v, s, -jnp.inf),
+                              stable=True).astype(jnp.int32)
+        # rows are (softly) score-sorted, columns are input-order
+        vv = v[:, None] & valid_mask[None, :]
     else:
-        g_order = jnp.arange(n, dtype=jnp.int32)
+        s = scores[order]
+        m = overlaps[order][:, order]
+        s = jnp.where(v, s, 0.0)
+        if sorting_method == "soft":
+            st = temperature if sorting_temperature is None \
+                else sorting_temperature
+            s, _, m = soft_sort(s, full_matrix=m, temperature=st)
+            # soft-sorted scores may not be monotone; grouping re-sorts hard,
+            # as get_groups does on its inputs (lib/groomed_nms.py:213-214).
+            g_order = jnp.argsort(-jnp.where(v, s, -jnp.inf),
+                                  stable=True).astype(jnp.int32)
+        else:
+            g_order = jnp.arange(n, dtype=jnp.int32)
+        vv = v[:, None] & v[None, :]
 
     # zero padded rows/cols so they can never prune or join anything
-    vv = v[:, None] & v[None, :]
     m = jnp.where(vv, m, 0.0)
 
     # -- prune matrix: strictly lower triangular in sorted order ----------

@@ -83,8 +83,14 @@ def _make_block_kernel(L, c0, growth, dil, H, W, CH, dtype):
             # out(p, q) = sum_taps t[p + ty*d, q + tx*d, tap-slice]
             wp = 2 * dil + W
             c2 = CH
-            while (c2 + 2 * dil) * wp * 9 * growth * 4 > 24 * 2 ** 20:
+            while c2 > 1 and \
+                    (c2 + 2 * dil) * wp * 9 * growth * 4 > 24 * 2 ** 20:
                 c2 //= 2
+            if (c2 + 2 * dil) * wp * 9 * growth * 4 > 24 * 2 ** 20:
+                raise ValueError(
+                    f"dense-block conv2 temp exceeds the 24MB VMEM budget "
+                    f"even at one row per chunk (W={W}, dil={dil}, "
+                    f"growth={growth}); input too wide for this kernel")
 
             def conv2_chunk(i, _, l=l, cin=cin, c2=c2):
                 hc = i * c2

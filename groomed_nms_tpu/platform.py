@@ -1,0 +1,76 @@
+"""Hermetic JAX platform pinning for script entry points.
+
+The ambient environment may pin ``JAX_PLATFORMS`` to a TPU-tunnel plugin
+that force-registers at interpreter start (via a sitecustomize on
+``PYTHONPATH``) and **overrides** ``JAX_PLATFORMS=cpu`` set by a caller.
+Subprocess tests that export ``JAX_PLATFORMS=cpu`` would otherwise silently
+run every compile through the remote TPU tunnel (minutes per graph).
+
+``ensure_requested_platform()`` makes the env var authoritative again: if
+the caller asked for ``cpu``, re-pin jax.config after import and clear any
+backend that was already initialized.  Scripts call this once at the top of
+``main()``; it is a no-op when no explicit platform was requested (normal
+TPU runs are untouched).
+
+Counterpart of the reference's implicit device selection
+(scripts/train_rpn_3d.py:60 ``torch.cuda.set_device``); here the design is
+platform-agnostic: the same entry points drive TPU, virtual-CPU-mesh tests,
+and multi-chip dry runs.
+"""
+
+import logging
+import os
+
+
+def ensure_requested_platform():
+    """Make ``JAX_PLATFORMS=cpu`` authoritative despite plugin overrides.
+
+    Safe to call before or after ``import jax`` as long as no devices have
+    been used for computation yet (``clear_backends`` drops any backend that
+    was merely initialized).  Returns the effective platform string or None
+    when nothing was requested.
+    """
+    requested = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" not in requested.split(","):
+        return None
+    import jax
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+    jax.config.update("jax_platforms", "cpu")
+    clear_backends()
+    backend = jax.default_backend()
+    logging.getLogger(__name__).info("jax platform pinned: backend=%s "
+                                     "devices=%d", backend,
+                                     len(jax.devices()))
+    assert backend == "cpu", f"requested cpu, got {backend}"
+    return backend
+
+
+def force_cpu_mesh(n_devices: int):
+    """Hermetically pin jax to an ``n_devices``-wide virtual CPU mesh.
+
+    Used by the driver's multi-chip dry run and by tools that need a
+    deterministic device count regardless of ambient platform plugins.
+    Never query ``jax.devices()`` before calling this -- that would
+    dispatch to the ambient platform.
+    """
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    import jax
+
+    ensure_requested_platform()
+    try:
+        jax.config.update("jax_num_cpu_devices", n_devices)
+        from jax.extend.backend import clear_backends
+        clear_backends()
+    except Exception:
+        pass  # older jax: rely on the XLA_FLAGS path set above
+    devices = jax.devices("cpu")
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} CPU devices, have {len(devices)}")
+    return devices[:n_devices]

@@ -37,6 +37,10 @@ def main():
                     help="save qualitative image+BEV figures for N images")
     args = ap.parse_args()
 
+    from groomed_nms_tpu.platform import ensure_requested_platform
+    ensure_requested_platform()  # honour JAX_PLATFORMS=cpu despite plugins
+
+    import jax
     import numpy as np
 
     from groomed_nms_tpu.anchors import locate_anchors
@@ -58,6 +62,8 @@ def main():
     logging.basicConfig(
         force=True, level=logging.INFO, format="%(asctime)s %(message)s")
     log = logging.getLogger(__name__)
+    log.info("jax backend=%s devices=%d", jax.default_backend(),
+             jax.local_device_count())
 
     root = os.path.join(args.data_root, cfg.dataset_test)
     imdb = build_imdb(root, args.split, use_3d_for_2d=cfg.use_3d_for_2d,

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--limit", type=int, default=None)
     args = ap.parse_args()
 
+    from groomed_nms_tpu.platform import ensure_requested_platform
+    ensure_requested_platform()  # honour JAX_PLATFORMS=cpu despite plugins
+
     import jax
     import jax.numpy as jnp
     import numpy as np

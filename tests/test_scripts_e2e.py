@@ -12,6 +12,24 @@ CAL = ("P2: 300.0 0.0 160.0 10.0 0.0 300.0 48.0 -0.1 "
        "0.0 0.0 1.0 0.002\n")
 
 
+def _subprocess_env(n_devices=2):
+    """Hermetic CPU env for script subprocesses.
+
+    Strips any ambient TPU-plugin site dir (e.g. /root/.axon_site, whose
+    sitecustomize force-registers a platform that overrides
+    JAX_PLATFORMS=cpu) from PYTHONPATH, on top of the scripts' own
+    ensure_requested_platform() pin -- belt and braces, because a child
+    that silently lands on a remote-compile tunnel turns a 2-minute test
+    into a 20-minute timeout."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([REPO] + parts)
+    return env
+
+
 def _make_tree(root, split, n_images, im_h=96, im_w=320, seed=0,
                paint_objects=True):
     """Synthetic KITTI tree. With ``paint_objects`` the object boxes are
@@ -60,10 +78,7 @@ def test_train_then_test_scripts(tmp_path):
     _make_tree(str(kitti), "training", 6)
     _make_tree(str(kitti), "validation", 4, seed=1)
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env = _subprocess_env()
 
     train = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "train.py"),
@@ -72,6 +87,9 @@ def test_train_then_test_scripts(tmp_path):
         capture_output=True, text=True, timeout=1200, env=env,
         cwd=str(tmp_path))
     assert train.returncode == 0, train.stderr[-3000:]
+    assert "backend=cpu" in (out_root / "tiny_synthetic" /
+                             "train.log").read_text(), \
+        "train.py must run hermetically on CPU when JAX_PLATFORMS=cpu"
     weights = out_root / "tiny_synthetic" / "weights"
     assert weights.is_dir() and any(weights.iterdir()), \
         "no checkpoints written"
@@ -143,10 +161,7 @@ def test_train_script_video_dispatch(tmp_path):
     _make_tracking_tree(str(data_root / "kitti_split1"), n_prev=1)
     out_root = tmp_path / "output"
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env = _subprocess_env()
 
     train = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "train.py"),
@@ -163,4 +178,6 @@ def test_train_script_video_dispatch(tmp_path):
     assert z["anchors"].shape[1] == 12
     assert z["bbox_means"].shape == (14,)
     log_text = (out_dir / "train.log").read_text()
+    assert "backend=cpu" in log_text, \
+        "video train must run hermetically on CPU"
     assert "freezing" in log_text

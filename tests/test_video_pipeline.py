@@ -182,3 +182,58 @@ def test_widen_fused_head_for_velocity():
             kernel[..., src + vel_pos:src + per])
         np.testing.assert_array_equal(nb[dst:dst + vel_pos],
                                       bias[src:src + vel_pos])
+
+
+def test_stale_anchor_cache_recomputed(tmp_path):
+    """A copied warmup anchors.npz (11-col anchors / 13-col stats, no
+    velocity column) must not poison a has_vel stage: prepare_anchors
+    detects the layout mismatch and recomputes (ADVICE r2 high)."""
+    import pytest
+    root = _make_tracking_tree(str(tmp_path / "kitti_split1"), n_prev=1)
+    cfg = _video_cfg()
+    imdb = [ClipRecordView(r)
+            for r in build_tracking_imdb(root, "training", n_prev=1)]
+    cache_dir = str(tmp_path / "stats")
+    os.makedirs(cache_dir)
+    np.savez(os.path.join(cache_dir, "anchors.npz"),
+             anchors=np.zeros((4, 11), np.float32),
+             bbox_means=np.zeros(13), bbox_stds=np.ones(13))
+    anchors, means, stds = prepare_anchors(cfg, imdb, cache_dir=cache_dir)
+    assert anchors.shape[1] == 12 and means.shape == (14,)
+    # cache now holds the corrected layout
+    z = np.load(os.path.join(cache_dir, "anchors.npz"))
+    assert z["anchors"].shape[1] == 12
+    # stale cache + nothing to recompute from -> clear error, not a
+    # trace-time slice failure
+    np.savez(os.path.join(cache_dir, "anchors.npz"),
+             anchors=np.zeros((4, 11), np.float32),
+             bbox_means=np.zeros(13), bbox_stds=np.ones(13))
+    with pytest.raises(ValueError, match="has_vel"):
+        prepare_anchors(cfg, [], cache_dir=cache_dir)
+
+
+def test_clip_loader_fills_missing_history(tmp_path):
+    """A sequence start without prev_2 frames must not kill training:
+    the loader repeats the nearest newer frame (zero apparent motion,
+    matching the -inf no-velocity label sentinel). ADVICE r2 low."""
+    root = _make_tracking_tree(str(tmp_path / "kitti_split1"), n_prev=1)
+    os.remove(os.path.join(root, "training", "prev_2", "000000_01.png"))
+    os.remove(os.path.join(root, "training", "prev_2", "000001_01.png"))
+    cfg = _video_cfg()
+    imdb = [ClipRecordView(r)
+            for r in build_tracking_imdb(root, "training", n_prev=1)]
+    loader = VideoTrainLoader(imdb, cfg, seed=0, prefetch=1)
+    batch = next(loader)
+    assert batch["images_u8"].shape == (2, 2, 96, 320, 3)
+    # history frame == current frame when prev is missing
+    np.testing.assert_array_equal(batch["images_u8"][:, 0],
+                                  batch["images_u8"][:, 1])
+
+
+def test_has_vel_requires_decomp_alpha():
+    """Unsupported knob combo fails with a clear message (ADVICE r2 low):
+    the velocity column only exists in the decomp_alpha layout."""
+    import pytest
+    from groomed_nms_tpu.losses import LossConfig
+    with pytest.raises(ValueError, match="decomp_alpha"):
+        LossConfig(has_vel=True, decomp_alpha=False)
