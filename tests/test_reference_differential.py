@@ -1,0 +1,505 @@
+"""Differential tests against the reference's ACTUAL torch/numpy code.
+
+The reference checkout at /root/reference runs on CPU torch for its core
+operators (no CUDA / torchvision / shapely needed once the few unused deps
+are stubbed).  Each test feeds identical random inputs to the reference
+implementation and to ours and asserts parity -- converting transcribed
+golden values into machine-checked parity with the code the paper's numbers
+came from.
+
+Covered operator families (>=100 random cases each):
+  * differentiable_nms (hard + quirk-exact soft sort, all 3 pruning
+    methods, all group/mask combos -- keep sets AND rescored values)
+    .............................................. lib/groomed_nms.py:10-129
+  * soft_sort (incl. the column-normalisation quirk) ........ :131-165
+  * get_groups / group leaders .............................. :208-270
+  * iou / iou_ign / iou3d_approximate (+generalized) .. lib/core.py:178-432
+  * bbox_transform / bbox_transform_3d / bbox_transform_inv
+    .............................................. lib/rpn_util.py:794-934
+  * compute_targets (fg/bg/ign assignment + transforms)
+    .............................................. lib/rpn_util.py:411-523
+  * APLoss forward + backward ............... lib/loss/aploss.py:14-97
+
+Skipped wholesale when torch or the reference checkout is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not present")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _install_stubs():
+    """Stub the reference deps that are absent in this environment and not
+    exercised by the operators under test (easydict config dicts, shapely's
+    exact polygon IoU, torchvision's ColorJitter, the CUDA NMS binding)."""
+    if "easydict" not in sys.modules:
+        m = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        m.EasyDict = EasyDict
+        sys.modules["easydict"] = m
+    if "shapely" not in sys.modules:
+        geom = types.ModuleType("shapely.geometry")
+
+        class Polygon:  # only lib.core.iou3d (not under test) needs it
+            def __init__(self, *a, **k):
+                raise RuntimeError("shapely stub: exact polygon IoU "
+                                   "unavailable in this environment")
+
+        geom.Polygon = Polygon
+        shp = types.ModuleType("shapely")
+        shp.geometry = geom
+        sys.modules["shapely"] = shp
+        sys.modules["shapely.geometry"] = geom
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    if "lib.nms.gpu_nms" not in sys.modules:
+        m = types.ModuleType("lib.nms.gpu_nms")
+
+        def gpu_nms(*a, **k):
+            raise RuntimeError("gpu_nms stub: CUDA NMS not under test")
+
+        m.gpu_nms = gpu_nms
+        sys.modules["lib.nms.gpu_nms"] = m
+
+
+@pytest.fixture(scope="module")
+def ref(request):
+    """Import the reference modules (namespace packages off /root/reference)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    _install_stubs()
+    # torch>=2 dropped uint8 masks; the reference (torch 1.x era) uses
+    # .byte() masks (lib/groomed_nms.py:56,73). Scoped compat shim.
+    orig_masked_fill_ = torch.Tensor.masked_fill_
+
+    def masked_fill_compat(self, mask, value):
+        if isinstance(mask, torch.Tensor) and mask.dtype == torch.uint8:
+            mask = mask.bool()
+        return orig_masked_fill_(self, mask, value)
+
+    torch.Tensor.masked_fill_ = masked_fill_compat
+    request.addfinalizer(
+        lambda: setattr(torch.Tensor, "masked_fill_", orig_masked_fill_))
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import lib.groomed_nms as gnms
+    import lib.core as core
+    import lib.rpn_util as rpn
+    import lib.loss.aploss as aploss
+    return types.SimpleNamespace(gnms=gnms, core=core, rpn=rpn,
+                                 aploss=aploss)
+
+
+# ---------------------------------------------------------------------------
+# random input generators
+# ---------------------------------------------------------------------------
+
+def _random_boxes(rng, n, spread=60.0, size=40.0):
+    """Clustered corner boxes with meaningful overlap structure."""
+    n_clusters = max(1, n // 6)
+    centers = rng.uniform(0, 400, (n_clusters, 2))
+    which = rng.integers(0, n_clusters, n)
+    cxy = centers[which] + rng.normal(0, spread * 0.2, (n, 2))
+    wh = rng.uniform(8, size, (n, 2))
+    return np.concatenate([cxy - wh / 2, cxy + wh / 2],
+                          axis=1).astype(np.float32)
+
+
+def _distinct_scores(rng, n):
+    """Tie-free scores in (0, 1): torch.sort is not stable, so parity
+    requires distinct values."""
+    s = rng.permutation(np.linspace(0.05, 0.99, n))
+    return (s + rng.normal(0, 1e-4, n)).clip(1e-3, 0.999).astype(np.float32)
+
+
+def _iou_matrix(boxes):
+    a = np.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    b = np.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    wh = np.clip(b - a, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return (inter / (area[:, None] + area[None, :] - inter)).astype(np.float32)
+
+
+def _random_corners(rng, n):
+    """Rotated-cuboid corner sets [n, 3, 8] (ordering irrelevant for the
+    approximate IoU: both implementations reduce over the same indices)."""
+    w, h, l = (rng.uniform(0.8, 4.0, n) for _ in range(3))
+    x = rng.uniform(-10, 10, n)
+    y = rng.uniform(-1, 3, n)
+    z = rng.uniform(5, 40, n)
+    ry = rng.uniform(-np.pi, np.pi, n)
+    xs = np.stack([w / 2, w / 2, -w / 2, -w / 2] * 2, 1)
+    ys = np.stack([-h] * 4 + [0.0 * h] * 4, 1)
+    zs = np.stack([l / 2, -l / 2] * 2 + [l / 2, -l / 2] * 2, 1)
+    c, s = np.cos(ry)[:, None], np.sin(ry)[:, None]
+    rx = c * xs + s * zs
+    rz = -s * xs + c * zs
+    return np.stack([rx + x[:, None], ys + y[:, None], rz + z[:, None]],
+                    axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# differentiable_nms + soft_sort + get_groups
+# ---------------------------------------------------------------------------
+
+NMS_CONFIGS = [
+    dict(pruning_method=p, group_boxes=g, mask_group_boxes=m)
+    for p in ("linear", "soft_nms", "sigmoidal")
+    for (g, m) in ((True, True), (True, False), (False, False))
+]
+
+# Soft sorting permutes the overlap matrix along ROWS ONLY (the reference
+# passes `W @ iou_unsorted` straight into get_groups,
+# lib/groomed_nms.py:45+85), so the matrix get_groups shrinks has columns
+# in INPUT order: column 0 is generally not the current top box, the
+# "high overlap with top" test reads a meaningless column, and the shrink
+# step can remove nothing -- the REFERENCE's soft+grouped mode then loops
+# forever on generic inputs (verified: non-terminating for random clustered
+# boxes at temperature 0.01 and 0.1).  The shipped configs use hard sort;
+# the soft ablation is only well-defined ungrouped, so that is what the
+# differential covers.
+NMS_CONFIGS_SOFT = [
+    dict(pruning_method=p, group_boxes=False, mask_group_boxes=False)
+    for p in ("linear", "soft_nms", "sigmoidal")
+]
+
+
+@pytest.mark.parametrize("sorting", ["hard", "soft"])
+def test_differentiable_nms_matches_reference(ref, sorting):
+    from groomed_nms_tpu.ops.groomed_nms import differentiable_nms
+    rng = np.random.default_rng(0)
+    n_cases = 0
+    configs = NMS_CONFIGS if sorting == "hard" else NMS_CONFIGS_SOFT
+    for case in range(40):
+        # every distinct (n, static kwargs) combination is a fresh XLA
+        # compile: quantize the case space so the grid stays ~dozens of
+        # programs while the >=100 random INPUTS still vary freely
+        n = 12 if case % 2 else 24
+        boxes = _random_boxes(rng, n)
+        iou = _iou_matrix(boxes)
+        scores = _distinct_scores(rng, n)
+        temperature = 0.1 if case % 4 < 2 else 0.01
+        group_size = 2 if case % 4 in (0, 2) else 100
+        for cfgi, kw in enumerate(configs):
+            if sorting == "hard" and (case + cfgi) % 3:
+                continue  # subsample the grid, keep every config
+            r_valid, r_invalid, r_prob = ref.gnms.differentiable_nms(
+                torch.from_numpy(scores.copy()),
+                torch.from_numpy(iou.copy()),
+                nms_threshold=0.4, temperature=temperature,
+                sorting_method=sorting, group_size=group_size, **kw)
+            res = differentiable_nms(
+                scores, iou, nms_threshold=0.4, temperature=temperature,
+                sorting_method=sorting, group_size=group_size,
+                reference_soft_sort=(sorting == "soft"), **kw)
+            # reference rescores are in (soft-)sorted coordinates; map back
+            # through the hard-sort permutation (distinct scores -> unique)
+            order = np.argsort(-scores, kind="stable")
+            ref_prob = np.zeros(n, np.float32)
+            ref_prob[order] = r_prob.numpy()
+            ours_prob = np.asarray(res.rescored)
+            np.testing.assert_allclose(
+                ours_prob, ref_prob, rtol=2e-4, atol=2e-5,
+                err_msg=f"case={case} cfg={kw} sorting={sorting}")
+            assert set(np.flatnonzero(np.asarray(res.keep))) == \
+                set(r_valid.numpy().tolist()), f"case={case} cfg={kw}"
+            assert set(np.flatnonzero(~np.asarray(res.keep))) == \
+                set(r_invalid.numpy().tolist())
+            n_cases += 1
+    assert n_cases >= 100
+
+
+def test_soft_sort_matches_reference(ref):
+    from groomed_nms_tpu.ops.groomed_nms import soft_sort
+    rng = np.random.default_rng(1)
+    for case in range(100):
+        n = int(rng.integers(4, 40))
+        scores = _distinct_scores(rng, n)
+        mat = rng.normal(size=(n, n)).astype(np.float32)
+        t = float(rng.choice([0.01, 0.1, 1.0]))
+        r_s, r_w, r_m = ref.gnms.soft_sort(
+            torch.from_numpy(scores.copy()),
+            full_matrix=torch.from_numpy(mat.copy()), temperature=t)
+        o_s, o_w, o_m = soft_sort(scores, full_matrix=mat, temperature=t,
+                                  reference_norm=True)
+        np.testing.assert_allclose(np.asarray(o_w), r_w.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o_s), r_s.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o_m), r_m.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_get_groups_matches_reference(ref):
+    """Leader assignment parity: feed get_groups pre-sorted inputs (its
+    internal sort is then the identity on distinct scores) and rebuild a
+    leader array from its ragged group lists."""
+    from groomed_nms_tpu.ops.groomed_nms import group_leaders
+    import jax.numpy as jnp
+    rng = np.random.default_rng(2)
+    for case in range(100):
+        n = (8, 16, 32)[case % 3]  # quantized: each (n, thr, gsize) compiles
+        boxes = _random_boxes(rng, n)
+        iou = _iou_matrix(boxes)
+        scores = np.sort(_distinct_scores(rng, n))[::-1].copy()
+        thr = (0.3, 0.4, 0.6)[case % 3]
+        gsize = (1, 3, 100)[(case // 3) % 3]
+        groups = ref.gnms.get_groups(
+            torch.from_numpy(iou.copy()), group_threshold=thr,
+            scores_unsorted=torch.from_numpy(scores.copy()),
+            group_size=gsize)
+        ref_leader = np.full(n, -1, np.int64)
+        for g in groups:
+            g = g.numpy()
+            ref_leader[g] = g[0]
+        ours = np.asarray(group_leaders(
+            jnp.asarray(iou), jnp.asarray(scores),
+            jnp.ones(n, bool), thr, gsize))
+        np.testing.assert_array_equal(ours, ref_leader,
+                                      err_msg=f"case={case} thr={thr}")
+
+
+# ---------------------------------------------------------------------------
+# iou family
+# ---------------------------------------------------------------------------
+
+def test_iou_matches_reference(ref):
+    from groomed_nms_tpu.ops.iou import (elementwise_iou, pairwise_iou,
+                                         pairwise_iou_ign)
+    rng = np.random.default_rng(3)
+    for case in range(100):
+        m, n = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+        a, b = _random_boxes(rng, m), _random_boxes(rng, n)
+        np.testing.assert_allclose(
+            np.asarray(pairwise_iou(a, b)),
+            ref.core.iou(a, b, mode="combinations"), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(pairwise_iou_ign(a, b)),
+            ref.core.iou_ign(a, b, mode="combinations"),
+            rtol=1e-5, atol=1e-6)
+        c = _random_boxes(rng, m)
+        np.testing.assert_allclose(
+            np.asarray(elementwise_iou(a, c)),
+            ref.core.iou(a, c, mode="list"), rtol=1e-5, atol=1e-6)
+        # torch path of the reference too (same math, different backend)
+        np.testing.assert_allclose(
+            np.asarray(pairwise_iou(a, b)),
+            ref.core.iou(torch.from_numpy(a.copy()),
+                         torch.from_numpy(b.copy()),
+                         mode="combinations").numpy(),
+            rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["normal", "generalized"])
+@pytest.mark.parametrize("mode", ["list", "combinations"])
+def test_iou3d_approximate_matches_reference(ref, method, mode):
+    from groomed_nms_tpu.ops.iou import iou3d_approximate
+    rng = np.random.default_rng(4)
+    for case in range(30):
+        m = int(rng.integers(1, 16))
+        n = m if mode == "list" else int(rng.integers(1, 16))
+        ca, cb = _random_corners(rng, m), _random_corners(rng, n)
+        # the reference mutates its inputs in place -- pass copies
+        r_bev, r_3d = ref.core.iou3d_approximate(
+            torch.from_numpy(ca.copy()), torch.from_numpy(cb.copy()),
+            mode=mode, method=method)
+        o_bev, o_3d = iou3d_approximate(ca, cb,
+                                        pairwise=(mode == "combinations"),
+                                        generalized=(method == "generalized"))
+        np.testing.assert_allclose(np.asarray(o_bev), r_bev.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o_3d), r_3d.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# bbox transforms
+# ---------------------------------------------------------------------------
+
+def test_bbox_transform_matches_reference(ref):
+    from groomed_nms_tpu.ops.boxes import bbox_transform
+    rng = np.random.default_rng(5)
+    for case in range(100):
+        n = int(rng.integers(1, 50))
+        ex, gt = _random_boxes(rng, n), _random_boxes(rng, n)
+        np.testing.assert_allclose(
+            np.asarray(bbox_transform(ex, gt)),
+            ref.rpn.bbox_transform(ex, gt), rtol=1e-5, atol=1e-6)
+
+
+def test_bbox_transform_inv_matches_reference(ref):
+    from groomed_nms_tpu.ops.boxes import bbox_transform_inv
+    rng = np.random.default_rng(6)
+    for case in range(100):
+        n = int(rng.integers(1, 50))
+        boxes = _random_boxes(rng, n)
+        deltas = rng.normal(0, 0.3, (n, 4)).astype(np.float32)
+        use_stats = case % 2 == 0
+        means = rng.normal(0, 0.1, 4).astype(np.float32) if use_stats \
+            else None
+        stds = rng.uniform(0.1, 0.5, 4).astype(np.float32) if use_stats \
+            else None
+        # the reference scales `deltas` in place through views -- pass a copy
+        r = ref.rpn.bbox_transform_inv(
+            boxes.copy(), torch.from_numpy(deltas.copy()),
+            means=means, stds=stds)
+        o = bbox_transform_inv(boxes, deltas, means=means, stds=stds)
+        np.testing.assert_allclose(np.asarray(o), r.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("decomp_alpha,has_vel,gt_cols", [
+    (False, False, 16), (True, False, 16), (True, True, 16), (True, True, 17),
+])
+def test_bbox_transform_3d_matches_reference(ref, decomp_alpha, has_vel,
+                                             gt_cols):
+    from groomed_nms_tpu.ops.boxes import bbox_transform_3d
+    rng = np.random.default_rng(7)
+    for case in range(30):
+        n = int(rng.integers(1, 40))
+        ex2d = _random_boxes(rng, n)
+        p = 5 + (2 if decomp_alpha else 0) + (1 if has_vel else 0)
+        ex3d = np.abs(rng.normal(1.0, 0.3, (n, p))).astype(np.float32) + 0.2
+        gt = rng.normal(0, 5.0, (n, gt_cols)).astype(np.float32)
+        gt[:, 3:6] = np.abs(gt[:, 3:6]) + 0.5      # positive w3d/h3d/l3d
+        use_cen = case % 3 == 0
+        cen = rng.uniform(0, 400, (n, 2)).astype(np.float32) if use_cen \
+            else None
+        r = ref.rpn.bbox_transform_3d(
+            ex2d, ex3d, gt, decomp_alpha=decomp_alpha, has_vel=has_vel,
+            rois_3d_cen=cen)
+        o = np.asarray(bbox_transform_3d(
+            ex2d, ex3d, gt, decomp_alpha=decomp_alpha, has_vel=has_vel,
+            rois_3d_cen=cen))
+        np.testing.assert_allclose(o, r, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# compute_targets
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("has_vel,gt_cols", [(False, 16), (True, 17)])
+def test_compute_targets_matches_reference(ref, has_vel, gt_cols):
+    """fg/bg/ign label assignment + per-anchor transforms, against the
+    reference's numpy implementation (lib/rpn_util.py:411-523)."""
+    import jax.numpy as jnp
+    from groomed_nms_tpu.anchors import compute_targets
+    rng = np.random.default_rng(8)
+    a_cols = 12 if has_vel else 11
+    n_nontrivial = 0
+    for case in range(60):
+        n_anchor_templates = 4
+        anchors = np.abs(rng.normal(1.0, 0.5,
+                                    (n_anchor_templates, a_cols))) + 0.5
+        anchors = anchors.astype(np.float32)
+        r = int(rng.integers(8, 60))
+        rois = np.concatenate(
+            [_random_boxes(rng, r),
+             rng.integers(0, n_anchor_templates, (r, 1)).astype(np.float32)],
+            axis=1)
+        g = int(rng.integers(1, 6))
+        # place some GTs on top of rois so fg exists
+        gts = _random_boxes(rng, g)
+        for gi in range(g):
+            if rng.random() < 0.7:
+                src = rois[int(rng.integers(0, r)), :4]
+                gts[gi] = src + rng.normal(0, 2.0, 4)
+        gts_3d = rng.normal(0, 3.0, (g, gt_cols)).astype(np.float32)
+        gts_3d[:, 3:6] = np.abs(gts_3d[:, 3:6]) + 0.5
+        lbls = rng.integers(1, 4, g).astype(np.float32)
+        i = int(rng.integers(0, 3))
+        igns = _random_boxes(rng, i) if i else np.zeros((0, 4), np.float32)
+
+        kw = dict(fg_thresh=0.5, ign_thresh=0.5, bg_thresh_lo=0.0,
+                  bg_thresh_hi=0.5, best_thresh=0.35)
+        r_tf, _, _ = ref.rpn.compute_targets(
+            gts, igns, lbls, rois, gts_3d=gts_3d, anchors=anchors,
+            tracker=rois[:, 4], **kw)
+
+        max_i = max(i, 1)
+        ign_2d = np.zeros((max_i, 4), np.float32)
+        ign_valid = np.zeros(max_i, bool)
+        if i:
+            ign_2d[:i] = igns
+            ign_valid[:i] = True
+        rois_3d = anchors[rois[:, 4].astype(np.int64), 4:]
+        tgt = compute_targets(
+            jnp.asarray(rois), jnp.asarray(rois_3d), jnp.asarray(gts),
+            jnp.asarray(gts_3d), jnp.asarray(lbls), jnp.ones(g, bool),
+            jnp.asarray(ign_2d), jnp.asarray(ign_valid),
+            decomp_alpha=True, has_vel=has_vel, **kw)
+
+        np.testing.assert_array_equal(np.asarray(tgt.labels), r_tf[:, 4],
+                                      err_msg=f"case={case} labels")
+        fg = np.asarray(tgt.fg_mask)
+        np.testing.assert_array_equal(fg, r_tf[:, 4] >= 1)
+        if fg.any():
+            n_nontrivial += 1
+            np.testing.assert_allclose(
+                np.asarray(tgt.transforms_2d)[fg], r_tf[fg, 0:4],
+                rtol=1e-4, atol=1e-4)
+            ours_3d = np.asarray(tgt.transforms_3d)[fg]
+            ref_3d = r_tf[fg, 5:]
+            both_finite = np.isfinite(ref_3d)
+            np.testing.assert_array_equal(np.isfinite(ours_3d), both_finite)
+            np.testing.assert_allclose(ours_3d[both_finite],
+                                       ref_3d[both_finite],
+                                       rtol=1e-3, atol=1e-3)
+    assert n_nontrivial >= 30
+
+
+# ---------------------------------------------------------------------------
+# APLoss
+# ---------------------------------------------------------------------------
+
+def test_aploss_matches_reference(ref):
+    import jax
+    import jax.numpy as jnp
+    from groomed_nms_tpu.losses.aploss import ap_loss
+    rng = np.random.default_rng(9)
+    grad_fn = jax.jit(jax.value_and_grad(ap_loss))
+    for case in range(100):
+        n = int(rng.integers(4, 80))
+        logits = rng.normal(0, 2.0, n).astype(np.float32)
+        logits += rng.permutation(np.linspace(0, 1e-3, n)).astype(np.float32)
+        targets = rng.choice([1.0, 0.0, -1.0], n,
+                             p=[0.3, 0.5, 0.2]).astype(np.float32)
+        if case % 10 == 0:
+            targets[targets == 1] = 0  # no-positive early-return path
+        t_logits = torch.from_numpy(logits.copy()).requires_grad_(True)
+        r_loss = ref.aploss.APLoss()(t_logits,
+                                     torch.from_numpy(targets.copy()))
+        r_loss.backward()
+        o_loss, o_grad = grad_fn(jnp.asarray(logits), jnp.asarray(targets))
+        np.testing.assert_allclose(float(o_loss), float(r_loss.item()),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"case={case} loss")
+        np.testing.assert_allclose(np.asarray(o_grad),
+                                   t_logits.grad.numpy(),
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=f"case={case} grad")
