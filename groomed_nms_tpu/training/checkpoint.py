@@ -71,11 +71,25 @@ def restore_checkpoint(output_dir, state, step=None, restore_optimizer=True):
             raise FileNotFoundError(f"no checkpoints under {output_dir}")
     path = _ckpt_dir(output_dir, step)
     ckptr = ocp.StandardCheckpointer()
+    opt_template = jax.device_get(state.opt_state)
+    if not restore_optimizer:
+        # the on-disk opt_state tree may not match this run's optimizer
+        # (e.g. the checkpoint came from a freeze-wrapped training stage);
+        # orbax requires a structurally matching template even for subtrees
+        # we discard, so synthesize opt_state's template from the
+        # checkpoint's own metadata
+        try:
+            meta = ckptr.metadata(path)
+            meta = getattr(meta, "item_metadata", meta).tree
+            opt_template = jax.tree_util.tree_map(
+                lambda m: np.zeros(m.shape, m.dtype), meta["opt_state"])
+        except Exception:
+            pass  # older orbax: fall back to the state's own opt tree
     template = {
         "step": np.asarray(0),
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
+        "opt_state": opt_template,
         "un_state": {"lam": np.zeros(()), "n": np.zeros((), np.int32)},
     }
     payload = ckptr.restore(path, template)

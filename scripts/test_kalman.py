@@ -53,6 +53,8 @@ def main():
     logging.basicConfig(
         force=True, level=logging.INFO, format="%(asctime)s %(message)s")
     log = logging.getLogger(__name__)
+    log.info("jax backend=%s devices=%d", jax.default_backend(),
+             jax.local_device_count())
 
     root = os.path.join(args.data_root, cfg.dataset_test)
     imdb = build_tracking_imdb(root, "validation")
@@ -78,20 +80,32 @@ def main():
     from groomed_nms_tpu.models import RPN3D
     from groomed_nms_tpu.utils.torch_weights import assemble_video_variables
 
-    sf_model = RPN3D(vcfg.rpn)
-    sf_state = create_train_state(
-        sf_model, (1, 64, 64, 3),
-        build_optimizer("sgd", build_lr_schedule(cfg.lr, 100)))
-    if latest_checkpoint(out_dir) is not None:
-        sf_state = restore_checkpoint(out_dir, sf_state, args.restore,
-                                      restore_optimizer=False)
-        log.info("single-frame weights restored (iter %d)",
-                 int(sf_state.step))
+    tx = build_optimizer("sgd", build_lr_schedule(cfg.lr, 100))
+    ckpt = latest_checkpoint(out_dir)
+    if ckpt is not None and cfg.model == "kalman":
+        # out_dir holds a video-stage checkpoint: scripts/train.py's video
+        # dispatch saves the full VideoRPN3D (rpn + pose branch) -- restore
+        # it directly rather than via the single-frame assembly
+        v_state = create_train_state(
+            model, (1, max(1, cfg.video_count), 64, 64, 3), tx)
+        v_state = restore_checkpoint(out_dir, v_state, args.restore,
+                                     restore_optimizer=False)
+        variables = {"params": v_state.params,
+                     "batch_stats": v_state.batch_stats}
+        log.info("video-model weights restored (iter %d)", int(v_state.step))
     else:
-        log.warning("no checkpoint under %s; using random weights", out_dir)
-    pose_npz = os.path.join(out_dir + "_pose", "pose_net_params.npz")
-    variables = assemble_video_variables(
-        model, sf_state, pose_npz if os.path.exists(pose_npz) else None)
+        sf_state = create_train_state(RPN3D(vcfg.rpn), (1, 64, 64, 3), tx)
+        if ckpt is not None:
+            sf_state = restore_checkpoint(out_dir, sf_state, args.restore,
+                                          restore_optimizer=False)
+            log.info("single-frame weights restored (iter %d)",
+                     int(sf_state.step))
+        else:
+            log.warning("no checkpoint under %s; using random weights",
+                        out_dir)
+        pose_npz = os.path.join(out_dir + "_pose", "pose_net_params.npz")
+        variables = assemble_video_variables(
+            model, sf_state, pose_npz if os.path.exists(pose_npz) else None)
 
     pose_stats = os.path.join(out_dir + "_pose", "pose_stats.npz")
     if os.path.exists(pose_stats):

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--sequence", required=True)
     ap.add_argument("--out", default="tracking_demo.mp4")
+    ap.add_argument("--output", default="output",
+                    help="experiment output root (anchors.npz + weights)")
+    ap.add_argument("--restore", type=int, default=None)
     ap.add_argument("--limit", type=int, default=None)
     args = ap.parse_args()
 
@@ -54,6 +57,8 @@ def main():
     logging.basicConfig(
         force=True, level=logging.INFO, format="%(asctime)s %(message)s")
     log = logging.getLogger(__name__)
+    log.info("jax backend=%s devices=%d", jax.default_backend(),
+             jax.local_device_count())
     cfg = load_config(args.config)
 
     image_dir = os.path.join(args.sequence, "image_2")
@@ -62,8 +67,8 @@ def main():
         frames = frames[:args.limit]
     p2 = read_kitti_calib(os.path.join(args.sequence, "calib.txt"))
 
-    anchors, means, stds = prepare_anchors(
-        cfg, [], cache_dir=os.path.join("output", cfg.name))
+    out_dir = os.path.join(args.output, cfg.name)
+    anchors, means, stds = prepare_anchors(cfg, [], cache_dir=out_dir)
     feat_hw = (cfg.crop_size[0] // cfg.feat_stride,
                cfg.crop_size[1] // cfg.feat_stride)
     rois = np.asarray(locate_anchors(anchors, feat_hw, cfg.feat_stride))
@@ -72,8 +77,40 @@ def main():
     vcfg = VideoConfig(rpn=cfg.rpn_config(anchors.shape[0]),
                        score_thres=cfg.score_thres, nms_thres=cfg.nms_thres)
     model = VideoRPN3D(vcfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 1, 64, 64, 3)), train=False)
+    # trained weights when available (single-frame checkpoint + optional
+    # pose branch, same assembly as scripts/test_kalman.py); random init
+    # keeps the demo runnable without a training run
+    from groomed_nms_tpu.models import RPN3D
+    from groomed_nms_tpu.training import (build_lr_schedule, build_optimizer,
+                                          create_train_state,
+                                          latest_checkpoint,
+                                          restore_checkpoint)
+    from groomed_nms_tpu.utils.torch_weights import assemble_video_variables
+    tx = build_optimizer("sgd", build_lr_schedule(cfg.lr, 100))
+    ckpt = latest_checkpoint(out_dir)
+    if ckpt is not None and cfg.model == "kalman":
+        # video-stage checkpoint: restore the full VideoRPN3D directly
+        v_state = create_train_state(
+            model, (1, max(1, cfg.video_count), 64, 64, 3), tx)
+        v_state = restore_checkpoint(out_dir, v_state, args.restore,
+                                     restore_optimizer=False)
+        variables = {"params": v_state.params,
+                     "batch_stats": v_state.batch_stats}
+        log.info("weights restored from %s (iter %d)", out_dir,
+                 int(v_state.step))
+    else:
+        sf_state = create_train_state(RPN3D(vcfg.rpn), (1, 64, 64, 3), tx)
+        if ckpt is not None:
+            sf_state = restore_checkpoint(out_dir, sf_state, args.restore,
+                                          restore_optimizer=False)
+            log.info("weights restored from %s (iter %d)", out_dir,
+                     int(sf_state.step))
+        else:
+            log.warning("no checkpoint under %s; using random weights",
+                        out_dir)
+        pose_npz = os.path.join(out_dir + "_pose", "pose_net_params.npz")
+        variables = assemble_video_variables(
+            model, sf_state, pose_npz if os.path.exists(pose_npz) else None)
 
     means_img = jnp.asarray(cfg.image_means)
     stds_img = jnp.asarray(cfg.image_stds)

@@ -59,6 +59,8 @@ def main():
     logging.basicConfig(
         force=True, level=logging.INFO, format="%(asctime)s %(message)s")
     log = logging.getLogger(__name__)
+    log.info("jax backend=%s devices=%d", jax.default_backend(),
+             jax.local_device_count())
 
     root = os.path.join(args.data_root, cfg.dataset_train)
     imdb = build_tracking_imdb(root, "training",

@@ -157,3 +157,91 @@ def test_sharded_inference_matches_single_device():
 
     np.testing.assert_array_equal(results[1][1], results[8][1])
     np.testing.assert_allclose(results[1][0], results[8][0], atol=1e-5)
+
+
+def _video_setup(batch_size):
+    """Tiny VideoRPN3D + has_vel loss + clip batch (kitti_3d_full stage)."""
+    import dataclasses
+
+    from groomed_nms_tpu.models.video import VideoConfig, VideoRPN3D
+    from groomed_nms_tpu.training import make_video_train_step
+
+    rng = np.random.default_rng(1)
+    a = 4
+    rpn_cfg = RPNConfig(num_classes=4, num_anchors=a, prop_features=32,
+                        predict_velocity=True, predict_uncertainty=True,
+                        backbone=tiny_densenet_config())
+    model = VideoRPN3D(VideoConfig(rpn=rpn_cfg))
+    h, w, f = 32, 64, 2
+    fh, fw = h // 16, w // 16
+    templates = np.abs(rng.normal(size=(a, 4))).astype(np.float32)
+    templates[:, 2:] += templates[:, :2] + 16.0
+    priors = np.concatenate(
+        [templates,
+         np.abs(rng.normal(size=(a, 8))).astype(np.float32) + 1.0], axis=1)
+    rois = np.asarray(locate_anchors(priors, (fh, fw), 16))
+    rois_3d = priors[rois[:, 4].astype(np.int64), 4:]
+    lcfg = LossConfig(has_vel=True, has_un=True, bbox_un_dynamic=True,
+                      max_nms_boxes=16, max_ap_boxes=32)
+    tx = build_optimizer("sgd", build_lr_schedule(0.01, 100), batch_skip=1)
+    state = create_train_state(model, (1, f, h, w, 3), tx)
+    step_fn = make_video_train_step(
+        lcfg, jnp.asarray(rois), jnp.asarray(rois_3d),
+        np.zeros(14, np.float32), np.ones(14, np.float32))
+
+    b, g, i = batch_size, 4, 2
+    gts_2d = np.zeros((b, g, 4), np.float32)
+    gts_3d = np.full((b, g, 17), 0.0, np.float32)
+    gt_valid = np.zeros((b, g), bool)
+    for bi in range(b):
+        for gi in range(2):
+            x1, y1 = rng.uniform(0, 30), rng.uniform(0, 10)
+            bw, bh = rng.uniform(15, 30), rng.uniform(12, 20)
+            gts_2d[bi, gi] = [x1, y1, x1 + bw, y1 + bh]
+            gts_3d[bi, gi, :16] = [x1 + bw / 2, y1 + bh / 2, 20.0, 1.6, 1.5,
+                                   3.9, 0.2, 1.0, 1.5, 20.0, 0.3, 0.1, 0.2,
+                                   -0.9, 0, 0]
+            # mix: one GT with a real velocity, one with the -inf sentinel
+            gts_3d[bi, gi, 16] = 0.8 if gi == 0 else -np.inf
+            gt_valid[bi, gi] = True
+    p2 = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+    p2[:, 0, 0] = 700.0
+    p2[:, 1, 1] = 700.0
+    batch = {
+        "images": rng.normal(size=(b, f, h, w, 3)).astype(np.float32),
+        "gts_2d": gts_2d, "gts_3d": gts_3d,
+        "gt_labels": np.ones((b, g), np.float32), "gt_valid": gt_valid,
+        "ign_2d": np.zeros((b, i, 4), np.float32),
+        "ign_valid": np.zeros((b, i), bool),
+        "p2": p2, "scale": np.ones((b,), np.float32),
+    }
+    return state, step_fn, batch
+
+
+def test_sharded_video_step_matches_single_device():
+    """8-way data-parallel VIDEO train step (clips + velocity loss) must
+    reproduce the 1-device update -- the kitti_3d_full stage's multi-chip
+    story, mirrored by __graft_entry__.dryrun_multichip's second phase."""
+    n_dev = len(jax.devices())
+    if n_dev < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    state1, step_fn, batch = _video_setup(batch_size=8)
+    state8, _, _ = _video_setup(batch_size=8)
+
+    mesh1 = create_mesh(jax.devices()[:1])
+    mesh8 = create_mesh(jax.devices()[:8])
+    step1 = shard_train_step(step_fn, mesh1)
+    step8 = shard_train_step(step_fn, mesh8)
+
+    with mesh1:
+        s1, stats1 = step1(state1, shard_batch(mesh1, batch))
+    with mesh8:
+        s8, stats8 = step8(state8, shard_batch(mesh8, batch))
+
+    assert np.isfinite(float(stats1["total"]))
+    np.testing.assert_allclose(float(stats1["total"]),
+                               float(stats8["total"]), rtol=2e-4)
+    p1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(s1.params)]
+    p8 = [np.asarray(x) for x in jax.tree_util.tree_leaves(s8.params)]
+    worst = max(float(np.max(np.abs(a - b))) for a, b in zip(p1, p8))
+    assert worst < 5e-5, f"param divergence {worst}"

@@ -181,3 +181,41 @@ def test_train_script_video_dispatch(tmp_path):
     assert "backend=cpu" in log_text, \
         "video train must run hermetically on CPU"
     assert "freezing" in log_text
+
+    # ---- video eval tail (reference scripts/test_kalman.py): per-frame
+    # detections + Kalman smoothing over the clip -> KITTI txt + evaluator
+    kitti = data_root / "kitti_split1"
+    os.symlink(str(kitti / "training"), str(kitti / "validation"))
+    kal = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "test_kalman.py"),
+         "--config", "tiny_video_synthetic", "--data-root", str(data_root),
+         "--output", str(out_root)],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert kal.returncode == 0, kal.stderr[-3000:]
+    assert "backend=cpu" in kal.stderr + kal.stdout
+    kal_txts = sorted((out_dir / "results" / "results_kalman" / "data")
+                      .glob("*.txt"))
+    assert len(kal_txts) == 2, "one txt per tracking record"
+
+    # ---- demo-video generation (reference scripts/tracking_video.py):
+    # frame-by-frame tracker over a raw sequence + rendered frames
+    seq = tmp_path / "seq"
+    os.makedirs(seq / "image_2")
+    for k, src in enumerate(sorted((kitti / "training" / "image_2")
+                                   .iterdir())):
+        os.symlink(str(src), str(seq / "image_2" / f"{k:06d}.png"))
+    (seq / "calib.txt").write_text(
+        open(kitti / "training" / "calib" / "000000.txt").read())
+    demo = tmp_path / "demo.mp4"
+    vid = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "tracking_video.py"),
+         "--config", "tiny_video_synthetic", "--sequence", str(seq),
+         "--output", str(out_root), "--out", str(demo), "--limit", "2"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert vid.returncode == 0, vid.stderr[-3000:]
+    frames_dir = tmp_path / "demo_frames"
+    rendered = list(frames_dir.glob("*.png"))
+    assert len(rendered) == 2, "one rendered frame per input frame"
+    assert "weights restored" in vid.stderr + vid.stdout
