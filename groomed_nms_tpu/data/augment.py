@@ -36,7 +36,7 @@ from .kitti import decompose_alpha, rot_y_to_alpha
 # device-side image pipeline
 # ---------------------------------------------------------------------------
 
-def _resize_normalize(x, means, stds, target_h, crop_w):
+def _resize_normalize(x, means, stds, target_h, crop_w, out_dtype=None):
     """float [B, H0, W0, 3] in 0-255 -> normalised [B, target_h, crop_w, 3].
 
     Scale factor is ``target_h / H0``; width is scaled by the same factor
@@ -54,22 +54,28 @@ def _resize_normalize(x, means, stds, target_h, crop_w):
 
     x = x / 255.0
     x = (x - jnp.asarray(means)) / jnp.asarray(stds)
-    return x
+    return x.astype(out_dtype) if out_dtype is not None else x
 
 
-@functools.partial(jax.jit, static_argnames=("target_h", "crop_w"))
-def preprocess_images(images, mirror, means, stds, *, target_h, crop_w):
-    """uint8 [B, H0, W0, 3] -> normalised float32 [B, target_h, crop_w, 3].
+@functools.partial(jax.jit,
+                   static_argnames=("target_h", "crop_w", "out_dtype"))
+def preprocess_images(images, mirror, means, stds, *, target_h, crop_w,
+                      out_dtype=None):
+    """uint8 [B, H0, W0, 3] -> normalised float [B, target_h, crop_w, 3].
 
     Args:
       images: batch of same-sized decoded images (a KITTI split has only a
         handful of distinct sizes, so at most a few compiles).
       mirror: [B] bool; horizontally flip these images (before resize).
       means / stds: [3] channel statistics (0-1 scale).
+      out_dtype: output dtype; None = float32. A bf16 trunk re-tiles and
+        casts its input anyway, so emitting bf16 here halves the HBM
+        traffic of that 3-channel-minor layout copy (measured +3 img/s on
+        the 512x1760 batch-8 pipeline, docs/BENCHMARKS.md r3).
     """
     x = images.astype(jnp.float32)
     x = jnp.where(mirror[:, None, None, None], x[:, :, ::-1, :], x)
-    return _resize_normalize(x, means, stds, target_h, crop_w)
+    return _resize_normalize(x, means, stds, target_h, crop_w, out_dtype)
 
 
 @functools.partial(jax.jit,

@@ -23,7 +23,7 @@ from collections import defaultdict
 import numpy as np
 
 
-def _make_infer(model, dcfg, target_h, crop_w):
+def _make_infer(model, dcfg, target_h, crop_w, bf16_input=False):
     """Jitted preprocess+forward+detect, cached per (model, cfg, size).
 
     ``model`` (a frozen flax dataclass) and the detect config are hashable,
@@ -42,7 +42,8 @@ def _make_infer(model, dcfg, target_h, crop_w):
               p2, p2_inv, scale, bbox_means, bbox_stds):
         images = preprocess_images(
             images_u8, jnp.zeros((images_u8.shape[0],), bool), means_img,
-            stds_img, target_h=target_h, crop_w=crop_w)
+            stds_img, target_h=target_h, crop_w=crop_w,
+            out_dtype=jnp.bfloat16 if bf16_input else None)
         out = model.apply(variables, images, train=False)
         return im_detect_3d(rpn_outputs_dict(out), rois, rois_3d, p2,
                             p2_inv, scale, bbox_means, bbox_stds, dcfg)
@@ -51,8 +52,8 @@ def _make_infer(model, dcfg, target_h, crop_w):
 
 
 @functools.lru_cache(maxsize=4)
-def _cached_infer(model, dcfg, target_h, crop_w):
-    return _make_infer(model, dcfg, target_h, crop_w)
+def _cached_infer(model, dcfg, target_h, crop_w, bf16_input=False):
+    return _make_infer(model, dcfg, target_h, crop_w, bf16_input)
 
 
 def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
@@ -94,7 +95,10 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
         batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
         log_fn(f"batch rounded to {batch_size} for {n_dev} devices")
 
-    _infer = _cached_infer(model, dcfg, cfg.crop_size[0], cfg.crop_size[1])
+    # bf16 trunks take their (pre-retile) input in bf16: halves the HBM
+    # traffic of the 3-channel-minor layout copy (docs/BENCHMARKS.md r3)
+    _infer = _cached_infer(model, dcfg, cfg.crop_size[0], cfg.crop_size[1],
+                           bf16_input=cfg.compute_dtype == "bfloat16")
 
     def infer(images_u8, p2, p2_inv, scale):
         return _infer(variables, images_u8, means_img, stds_img, rois_j,

@@ -60,6 +60,14 @@ class DetectConfig:
     # score fusion
     use_acceptance_prob_for_nms: bool = True
     decomp_alpha: bool = True
+    # pre-NMS top-k selection: exact lax.top_k (default) or the TPU-native
+    # two-stage approx_max_k. With k=3000 of ~126k anchors the recall target
+    # bounds how many *pre-NMS candidates* may be missed -- in practice the
+    # final top-40 post-NMS rows are far above the pre-NMS cutoff, so 0.99
+    # recall leaves headline detections unchanged (measured identical on the
+    # bench fixture; see docs/BENCHMARKS.md)
+    use_approx_topk: bool = False
+    approx_topk_recall: float = 0.99
 
 
 NUM_DET_COLS = 17
@@ -152,6 +160,22 @@ def decode_detections(outputs, rois, rois_3d, p2, p2_inv, scale_factor,
     return dets, scores
 
 
+def _top_k_indices(scores, k, cfg: DetectConfig):
+    """Descending-score index selection for the pre-NMS gather.
+
+    ``use_approx_topk`` swaps exact lax.top_k (a full sort lowering on TPU)
+    for lax.approx_max_k, the TPU-native two-stage reduction; indices come
+    back in descending-value order either way (aggregate_to_topk=True).
+    """
+    if cfg.use_approx_topk:
+        _, idx = jax.lax.approx_max_k(
+            scores, k, recall_target=cfg.approx_topk_recall,
+            aggregate_to_topk=True)
+        return idx
+    _, idx = jax.lax.top_k(scores, k)
+    return idx
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def select_top_pre_nms(outputs, rois, rois_3d, cfg: DetectConfig):
     """Gather the top ``nms_topN_pre`` rois per image BEFORE decoding.
@@ -192,7 +216,7 @@ def select_top_pre_nms(outputs, rois, rois_3d, cfg: DetectConfig):
             fused, accept, num_classes=c,
             interpret=jax.default_backend() != "tpu")
         k = min(cfg.nms_topN_pre, scores.shape[-1])
-        _, idx = jax.lax.top_k(scores, k)                  # [B, K]
+        idx = _top_k_indices(scores, k, cfg)               # [B, K]
         sel_f = jnp.take_along_axis(fused, idx[..., None],
                                     axis=1).astype(jnp.float32)
         cls_k = sel_f[..., :c]
@@ -215,7 +239,7 @@ def select_top_pre_nms(outputs, rois, rois_3d, cfg: DetectConfig):
     if cfg.use_acceptance_prob_for_nms and accept is not None:
         scores = scores * accept
     k = min(cfg.nms_topN_pre, scores.shape[-1])
-    _, idx = jax.lax.top_k(scores, k)                      # [B, K]
+    idx = _top_k_indices(scores, k, cfg)                   # [B, K]
 
     def take(x):
         return jnp.take_along_axis(

@@ -47,6 +47,33 @@ def ensure_requested_platform():
     return backend
 
 
+def enable_compilation_cache(cache_dir=None):
+    """Persistent on-disk XLA compilation cache.
+
+    First eval of a run compiles one program per distinct image size --
+    minutes each through a remote-compile tunnel.  The persistent cache
+    (keyed on HLO hash) makes every later process reuse them.  Directory
+    from ``GROOMED_NMS_TPU_CACHE`` or ``~/.cache/groomed_nms_tpu/xla``;
+    disable by setting the env var to ``0``.
+    """
+    env = os.environ.get("GROOMED_NMS_TPU_CACHE")
+    if env == "0":
+        return None
+    cache_dir = cache_dir or env or os.path.expanduser(
+        "~/.cache/groomed_nms_tpu/xla")
+    import jax
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is an optimisation, never a hard dep
+        logging.getLogger(__name__).warning("compilation cache disabled: %s",
+                                            e)
+        return None
+    return cache_dir
+
+
 def force_cpu_mesh(n_devices: int):
     """Hermetically pin jax to an ``n_devices``-wide virtual CPU mesh.
 

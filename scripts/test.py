@@ -37,8 +37,10 @@ def main():
                     help="save qualitative image+BEV figures for N images")
     args = ap.parse_args()
 
-    from groomed_nms_tpu.platform import ensure_requested_platform
+    from groomed_nms_tpu.platform import (enable_compilation_cache,
+                                          ensure_requested_platform)
     ensure_requested_platform()  # honour JAX_PLATFORMS=cpu despite plugins
+    enable_compilation_cache()   # reuse compiled programs across runs
 
     import jax
     import numpy as np

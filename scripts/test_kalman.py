@@ -27,8 +27,10 @@ def main():
     ap.add_argument("--limit", type=int, default=None)
     args = ap.parse_args()
 
-    from groomed_nms_tpu.platform import ensure_requested_platform
+    from groomed_nms_tpu.platform import (enable_compilation_cache,
+                                          ensure_requested_platform)
     ensure_requested_platform()  # honour JAX_PLATFORMS=cpu despite plugins
+    enable_compilation_cache()   # reuse compiled programs across runs
 
     import jax
     import jax.numpy as jnp

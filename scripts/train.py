@@ -29,8 +29,10 @@ def main():
                     help="override config max_iter (smoke runs)")
     args = ap.parse_args()
 
-    from groomed_nms_tpu.platform import ensure_requested_platform
+    from groomed_nms_tpu.platform import (enable_compilation_cache,
+                                          ensure_requested_platform)
     ensure_requested_platform()  # honour JAX_PLATFORMS=cpu despite plugins
+    enable_compilation_cache()   # reuse compiled programs across runs
 
     import jax
     import jax.numpy as jnp

@@ -1,5 +1,6 @@
 """Video model: shared trunk, pose head, measurement extraction, tracking."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -226,3 +227,70 @@ def test_video_train_step_has_vel():
                                jnp.zeros((f, 6)), jnp.asarray(p2f[0]),
                                cfg_low)
     assert snaps.valid.shape == (f, 32)
+
+
+def test_fused_track_loss_differentiable_to_pose():
+    """The reference-intent video scheme (pose trained THROUGH the fused
+    tracker, losses/fused_track.py): finite loss, nonzero pose gradient,
+    and a correct pose must score better than a wrong one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from groomed_nms_tpu.losses.fused_track import fused_track_loss
+    from groomed_nms_tpu.models.video import VideoConfig
+
+    cfg = VideoConfig(max_tracks=8)
+    p2 = np.eye(4, dtype=np.float32)
+    p2[0, 0] = p2[1, 1] = 200.0
+    p2[0, 2], p2[1, 2] = 96.0, 32.0
+
+    f, m = 3, 2
+    tz = 1.0
+    meas = np.zeros((f, m, 16), np.float32)
+    centers0 = np.array([[1.0, 0.5, 20.0], [-2.0, 0.5, 15.0]], np.float32)
+    for fi in range(f):
+        c = centers0.copy()
+        c[:, 2] -= tz * fi
+        for gi in range(m):
+            x, y, z = c[gi]
+            u, v = 200 * x / z + 96, 200 * y / z + 32
+            bw = 200 * 1.7 / z
+            meas[fi, gi, :6] = [u - bw / 2, v - bw / 2, u + bw / 2,
+                                v + bw / 2, 0.9, 1.0]
+            meas[fi, gi, 6:14] = [x, y, z, 1.7, 1.5, 4.0, 0.1, 0.0]
+            meas[fi, gi, 14] = 0.9
+    valid = np.ones((f, m), bool)
+    gts = centers0.copy()
+    gts[:, 2] -= tz * (f - 1)
+
+    def loss_of(pose_tz):
+        poses = jnp.zeros((f, 6)).at[1:, 2].set(pose_tz)
+        l, n = fused_track_loss(poses, jnp.asarray(meas), jnp.asarray(valid),
+                                jnp.asarray(gts), jnp.ones(m, bool),
+                                jnp.asarray(p2), cfg)
+        return l
+
+    l_true = float(loss_of(0.0))
+    assert np.isfinite(l_true)
+    g = jax.grad(lambda t: loss_of(t))(jnp.asarray(2.0))
+    assert np.isfinite(float(g)) and float(g) != 0.0, \
+        "gradient must flow through project_ego into the pose"
+    # note: ego translation here is already encoded in the measurements, so
+    # a ZERO pose aligns; a large wrong pose must be measurably worse
+    assert float(loss_of(5.0)) > l_true
+
+
+def test_video_scheme_comparison_harness_runs():
+    """The divergence-measurement harness (VERDICT r2 task 4) trains both
+    schemes end-to-end at micro scale and reports all three metrics."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from analysis.compare_video_training_schemes import run
+    # fused only: the direct scheme is already covered by the pose-loss
+    # unit tests, and each scheme costs a full video-model vjp compile
+    results = run(iters=2, batch=1, log=lambda *a: None,
+                  schemes=("fused",), n_eval=3)
+    for scheme in ("fused", "untrained"):
+        for key in ("pose_tz_mae", "track_center_rmse", "track_vel_mae"):
+            assert np.isfinite(results[scheme][key])
