@@ -22,10 +22,18 @@ TPU-first re-design (vs. the reference's per-image python lists + dicts):
 * **Kalman gain without matrix inverse**: H selects the first 8 state rows,
   so ``K = C[:, :8] (C[:8, :8] + R)^{-1}`` is one batched 8x8 solve.
 
-Covariance quirk preserved: the reference's ``make_covariance_matrix`` with
-a [N, 1] input writes only the (0, 0) diagonal entry (kalman.py:363-374 --
-``num_available = 1``); process/measurement noise therefore concentrates on
-the x coordinate.  We reproduce that exactly.
+Covariance semantics (differentially verified, round 3): the reference
+builds every covariance from an [N, 8] broadcast -- zeroed Q/R plus
+``lambda_o * (1 - un)`` over all 8 measured-state columns -- so the first
+8 diagonal entries all carry the confidence-driven value and (8, 8) stays
+1 (kalman.py:356, 625, 704 call sites into make_covariance_matrix
+:363-374).  Also reproduced: a frame with tracks but ZERO associations
+drops ALL tracks (reference update_tracks:612-614 sets the batch entry to
+None; new tracks then respawn from that frame's measurements).  Track ids
+here stay globally monotone where the reference restarts numbering after
+such a reset -- a cosmetic divergence (ids only label the demo overlay).
+Both behaviors are pinned against the reference's own torch code in
+tests/test_kalman_differential.py.
 
 State layout (V = 9): [x, y, z, w3d, h3d, l3d, theta, head, vel]
 Measurement layout (16 cols, reference clean_and_denorm kalman.py:314-317):
@@ -89,15 +97,26 @@ def make_transition_matrix(theta, head):
     return jax.lax.stop_gradient(a)
 
 
-def make_covariance_00(vals, size=NUM_VARS):
-    """eye(size) with the (0, 0) entry replaced by ``vals`` [N].
+def make_covariance(vals, size=NUM_VARS, n_diag=8):
+    """eye(size) with the first ``min(n_diag, size)`` diagonal entries set
+    to ``vals`` [N].
 
-    Matches make_covariance_matrix with a [N, 1] input (see module
-    docstring).
+    The reference's make_covariance_matrix (..._un_kalman.py:363-374)
+    receives a broadcast [N, K] argument whose width K depends on the call
+    site: K=8 for the initial covariance (``Q_cov[:-1]``, :356) and the
+    measurement noise R (``R_cov``, :625) -- so the first 8 diagonal
+    entries carry ``lambda_o * (1 - un)`` and (8, 8) stays 1 -- but K=9
+    for the per-update process noise (full ``Q_cov``, :633), where ALL
+    nine entries get ``1 - un_pre``.  Verified entry-for-entry against the
+    reference's own torch code in tests/test_kalman_differential.py
+    (round 3; rounds 1-2 set only the (0, 0) entry -- a transcription
+    blind spot the differential caught).
     """
     n = vals.shape[0]
+    k = min(n_diag, size)
     c = jnp.tile(jnp.eye(size)[None], (n, 1, 1))
-    return c.at[:, 0, 0].set(vals)
+    idx = jnp.arange(k)
+    return c.at[:, idx, idx].set(vals[:, None])
 
 
 def project_ego(tracks: Tracks, pose_dn, p2) -> Tracks:
@@ -200,8 +219,8 @@ def update_tracks(tracks: Tracks, meas, meas_valid, match_t) -> Tracks:
     un_pre = tracks.un
 
     # C_pre += eye + (1 - un_pre) at (0,0)   [the reference's += quirk]
-    c_pre = tracks.C + make_covariance_00(1.0 - un_pre)
-    r = make_covariance_00(LAMBDA_O * (1.0 - un_meas), size=8)
+    c_pre = tracks.C + make_covariance(1.0 - un_pre, n_diag=9)
+    r = make_covariance(LAMBDA_O * (1.0 - un_meas), size=8)
 
     # H = I[:8], so HCH^T = C[:8,:8], C H^T = C[:, :8]
     s = c_pre[:, :8, :8] + r                          # innovation covariance
@@ -227,7 +246,11 @@ def update_tracks(tracks: Tracks, meas, meas_valid, match_t) -> Tracks:
                       make_transition_matrix(x_new[:, 6], x_new[:, 7]),
                       tracks.A)
 
-    healthy = tracks.valid & (x_new[:, 2] > 1.0) & (un_new > K_M)
+    # reference quirk (update_tracks:612-614): a frame with existing tracks
+    # but NO associations sets the whole track batch to None -- every track
+    # dies and this frame's measurements respawn fresh ones
+    any_match = jnp.any(upd)
+    healthy = tracks.valid & any_match & (x_new[:, 2] > 1.0) & (un_new > K_M)
     return tracks._replace(valid=healthy, X=x_new, C=c_new, A=a_new,
                            box2d=box_new, un=un_new)
 
@@ -257,7 +280,7 @@ def add_unused_measurements(tracks: Tracks, meas, meas_valid,
     un0 = z[:, 14] * z[:, 4]
     x0 = jnp.pad(z[:, 6:14], ((0, 0), (0, 1)))        # vel = 0
     a0 = make_transition_matrix(z[:, 12], z[:, 13])
-    c0 = make_covariance_00(LAMBDA_O * (1.0 - un0))
+    c0 = make_covariance(LAMBDA_O * (1.0 - un0))
     ids0 = tracks.next_id + jnp.where(fill, jnp.clip(want, 0), 0)
 
     return tracks._replace(

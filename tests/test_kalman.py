@@ -10,7 +10,7 @@ import pytest
 from groomed_nms_tpu.models.kalman import (PoseNet, Tracks,
                                            add_unused_measurements,
                                            associate_tracks, forecast_tracks,
-                                           make_covariance_00,
+                                           make_covariance,
                                            make_transition_matrix,
                                            project_ego, track_step,
                                            update_tracks)
@@ -49,11 +49,19 @@ def test_transition_matrix_moves_along_heading():
     np.testing.assert_allclose(x_new2[0, 0], -2.0, atol=1e-5)
 
 
-def test_covariance_00_quirk():
-    c = make_covariance_00(jnp.asarray([0.3, 0.7]))
+def test_covariance_broadcast_semantics():
+    """Reference builds covariances from an [N, 8] broadcast: ALL first-8
+    diagonal entries carry the value, (8, 8) stays 1 (differentially
+    verified in tests/test_kalman_differential.py)."""
+    c = make_covariance(jnp.asarray([0.3, 0.7]))
     assert c.shape == (2, 9, 9)
-    np.testing.assert_allclose(c[0, 0, 0], 0.3)
-    np.testing.assert_allclose(c[0, 1, 1], 1.0)   # rest of diag untouched
+    for d in range(8):
+        np.testing.assert_allclose(c[0, d, d], 0.3)
+        np.testing.assert_allclose(c[1, d, d], 0.7)
+    np.testing.assert_allclose(c[0, 8, 8], 1.0)
+    r = make_covariance(jnp.asarray([0.2]), size=8)
+    for d in range(8):
+        np.testing.assert_allclose(r[0, d, d], 0.2)
 
 
 def test_first_frame_spawns_tracks():

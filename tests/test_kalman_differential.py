@@ -1,0 +1,302 @@
+"""Kalman tracker differential: our fixed-slot tracker (models/kalman.py)
+vs the reference's ACTUAL torch tracker methods
+(models/densenet121_3d_dilate_decomp_alpha_un_kalman.py:330-761).
+
+The reference methods use ``self`` only for a handful of constants, so we
+call them UNBOUND with a shim object -- no torchvision backbone needed.
+Covers: transition/covariance construction, a fixed-association Kalman
+update, and multi-frame rollouts (project_ego -> forecast -> associate ->
+update -> spawn) over random moving objects with ego motion, including the
+zero-association kill-all quirk and track pruning.
+
+This differential is what caught the round-1/2 covariance transcription
+blind spots: only the (0, 0) diagonal entry was confidence-driven (the
+reference drives the first 8 for init/measurement noise and all NINE for
+the per-update process noise), and a zero-association frame must drop the
+whole track set.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not present")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from test_reference_differential import _install_stubs  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref(request):
+    import matplotlib
+    matplotlib.use("Agg")
+    _install_stubs()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    had = {}
+    for name, repl in (("FloatTensor", torch.FloatTensor),
+                       ("LongTensor", torch.LongTensor)):
+        had[name] = getattr(torch.cuda, name, None)
+        setattr(torch.cuda, name, repl)
+
+    from models.densenet121_3d_dilate_decomp_alpha_un_kalman import RPN
+
+    class Shim:
+        lambda_o = 0.2
+        k_p = 0.75
+        k_m = 0.05
+        best_thresh = 0.35
+        torch_bool = True
+        Q_cov = torch.ones(9)
+        R_cov = 0.2 * torch.ones(8)
+        pose_means = np.zeros((1, 6), np.float32)
+        pose_stds = np.ones((1, 6), np.float32)
+
+    shim = Shim()
+    # the tracker methods call helper methods through self
+    for name in ("make_covariance_matrix", "make_transition_matrix",
+                 "make_H_matrix"):
+        setattr(shim, name, getattr(RPN, name).__get__(shim))
+    shim.H = RPN.make_H_matrix(shim)
+
+    def restore():
+        torch.Tensor.cuda = orig_cuda
+        for name, orig in had.items():
+            if orig is None:
+                delattr(torch.cuda, name)
+            else:
+                setattr(torch.cuda, name, orig)
+
+    request.addfinalizer(restore)
+    return types.SimpleNamespace(RPN=RPN, shim=shim)
+
+
+def _random_meas(rng, m, spread=1.0):
+    """[M, 16] measurement rows with consistent projected 2D boxes."""
+    meas = np.zeros((m, 16), np.float32)
+    for i in range(m):
+        x = rng.uniform(-6, 6)
+        y = rng.uniform(0.0, 1.5)
+        z = rng.uniform(8, 30)
+        w3, h3, l3 = rng.uniform(1.2, 2.0), rng.uniform(1.2, 1.8), \
+            rng.uniform(3.0, 4.5)
+        theta = rng.uniform(-1.5, 1.5)
+        head = rng.choice([0.1, 0.9])
+        u, v = 400 * x / z + 300, 400 * y / z + 120
+        bw, bh = 400 * w3 / z, 400 * h3 / z
+        meas[i, :6] = [u - bw / 2, v - bh / 2, u + bw / 2, v + bh / 2,
+                       rng.uniform(0.6, 0.95), 1.0]
+        meas[i, 6:14] = [x, y, z, w3, h3, l3, theta, head]
+        meas[i, 14] = rng.uniform(0.5, 0.95)
+    return meas
+
+
+def _p2():
+    p2 = np.eye(4, dtype=np.float32)
+    p2[0, 0] = p2[1, 1] = 400.0
+    p2[0, 2], p2[1, 2] = 300.0, 120.0
+    return p2
+
+
+def _ref_state(tracks):
+    """Reference track edict -> sorted comparable arrays."""
+    if tracks is None or tracks.Xs.shape[0] == 0:
+        return np.zeros((0, 9)), np.zeros((0,)), np.zeros((0, 9, 9))
+    xs = tracks.Xs.detach().numpy()
+    un = tracks.bbox_un.detach().numpy()
+    cs = tracks.Cs.detach().numpy()
+    order = np.lexsort((xs[:, 1], xs[:, 0]))
+    return xs[order], un[order], cs[order]
+
+
+def _our_state(tr):
+    import numpy as np
+    v = np.asarray(tr.valid)
+    xs = np.asarray(tr.X)[v]
+    un = np.asarray(tr.un)[v]
+    cs = np.asarray(tr.C)[v]
+    order = np.lexsort((xs[:, 1], xs[:, 0]))
+    return xs[order], un[order], cs[order]
+
+
+def test_transition_and_covariance_match_reference(ref):
+    import jax.numpy as jnp
+    from groomed_nms_tpu.models.kalman import (make_covariance,
+                                               make_transition_matrix)
+    rng = np.random.default_rng(0)
+    for _ in range(100):
+        n = int(rng.integers(1, 12))
+        theta = rng.uniform(-3, 3, n).astype(np.float32)
+        head = rng.uniform(0, 1, n).astype(np.float32)
+        r_a = ref.RPN.make_transition_matrix(
+            ref.shim, torch.from_numpy(theta.copy()),
+            torch.from_numpy(head.copy()))
+        o_a = make_transition_matrix(jnp.asarray(theta), jnp.asarray(head))
+        np.testing.assert_allclose(np.asarray(o_a), r_a.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+        # the reference's call pattern: an [N, 8] broadcast of one value
+        un = rng.uniform(0, 1, n).astype(np.float32)
+        vals8 = (0.2 * (1.0 - un[:, None]) *
+                 np.ones((1, 8), np.float32))
+        r_c = ref.RPN.make_covariance_matrix(
+            ref.shim, torch.from_numpy(vals8.copy()))
+        o_c = make_covariance(jnp.asarray(0.2 * (1.0 - un)))
+        np.testing.assert_allclose(np.asarray(o_c), r_c.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_single_update_matches_reference(ref):
+    """One fixed-association Kalman update on identical pre states."""
+    import jax.numpy as jnp
+    from groomed_nms_tpu.models.kalman import (Tracks, add_unused_measurements,
+                                               update_tracks)
+    rng = np.random.default_rng(1)
+    p2 = _p2()
+    for case in range(30):
+        m = int(rng.integers(1, 6))
+        meas0 = _random_meas(rng, m)
+        # same objects, perturbed -> association is identity and unambiguous
+        meas1 = meas0.copy()
+        meas1[:, 6:9] += rng.normal(0, 0.05, (m, 3))
+        meas1[:, 14] = rng.uniform(0.5, 0.95, m)
+
+        tracks = ref.RPN.initialize_tracks(
+            ref.shim, [torch.from_numpy(meas0.copy())])
+        a_tr = list(range(m))
+        a_me = list(range(m))
+        tracks = ref.RPN.update_tracks(
+            ref.shim, tracks, [torch.from_numpy(meas1.copy())],
+            [a_tr], [a_me])
+        r_xs, r_un, r_cs = _ref_state(tracks[0])
+
+        t = 8
+        ours = Tracks.empty(t)
+        ours = add_unused_measurements(ours, jnp.asarray(meas0),
+                                       jnp.ones(m, bool),
+                                       jnp.zeros(m, bool))
+        match_t = jnp.full((t,), -1, jnp.int32).at[:m].set(jnp.arange(m))
+        ours = update_tracks(ours, jnp.asarray(meas1), jnp.ones(m, bool),
+                             match_t)
+        o_xs, o_un, o_cs = _our_state(ours)
+
+        assert o_xs.shape == r_xs.shape, f"case={case}"
+        np.testing.assert_allclose(o_xs, r_xs, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(o_un, r_un, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(o_cs, r_cs, rtol=1e-4, atol=1e-4)
+
+
+def test_rollout_matches_reference(ref):
+    """Multi-frame rollout with ego motion, spawns, misses and pruning."""
+    import jax.numpy as jnp
+    from groomed_nms_tpu.models.kalman import Tracks, track_step
+    rng = np.random.default_rng(2)
+    p2 = _p2()
+    n_nontrivial = 0
+    for case in range(12):
+        f = 4
+        m0 = int(rng.integers(2, 5))
+        base = _random_meas(rng, m0)
+        tz = float(rng.uniform(0.3, 1.2))
+        pose = np.array([0, 0, tz, 0, rng.uniform(-0.02, 0.02), 0],
+                        np.float32)
+        frames = []
+        for fi in range(f):
+            mm = base.copy()
+            # objects roughly static in the world: camera-frame z decreases
+            mm[:, 8] -= tz * fi
+            mm[:, 6:9] += rng.normal(0, 0.03, (m0, 3))
+            # occasionally drop a measurement (missed detection)
+            if fi == 2 and m0 > 2:
+                mm = mm[:-1]
+            # occasionally a brand-new object appears
+            if fi == 3 and case % 2 == 0:
+                mm = np.concatenate([mm, _random_meas(rng, 1)], axis=0)
+            frames.append(mm.astype(np.float32))
+
+        # reference rollout (mirrors forward_single's per-frame sequence)
+        tracks = ref.RPN.initialize_tracks(
+            ref.shim, [torch.from_numpy(frames[0].copy())])
+        for fi in range(1, f):
+            bm = [torch.from_numpy(frames[fi].copy())]
+            t_p2 = torch.from_numpy(p2.copy())
+            tracks = ref.RPN.project_ego(
+                ref.shim, tracks, [torch.from_numpy(pose.copy())], [t_p2])
+            tracks = ref.RPN.forecast_tracks(ref.shim, tracks, [t_p2])
+            a_tr, a_me = ref.RPN.associate_tracks(ref.shim, tracks, bm)
+            tracks = ref.RPN.update_tracks(ref.shim, tracks, bm, a_tr, a_me)
+            tracks = ref.RPN.add_unused_measurements(ref.shim, tracks, bm,
+                                                     a_me)
+        r_xs, r_un, r_cs = _ref_state(tracks[0])
+
+        # ours: same sequence through the fixed-slot scan step
+        t = 16
+        ours = Tracks.empty(t)
+        for fi in range(f):
+            mm = frames[fi]
+            mpad = np.zeros((8, 16), np.float32)
+            mpad[:mm.shape[0]] = mm
+            valid = np.zeros(8, bool)
+            valid[:mm.shape[0]] = True
+            ours = track_step(
+                ours, jnp.asarray(mpad), jnp.asarray(valid),
+                jnp.asarray(pose if fi > 0 else np.zeros(6, np.float32)),
+                jnp.asarray(p2), best_thresh=0.35, apply_pose=fi > 0)
+        o_xs, o_un, o_cs = _our_state(ours)
+
+        assert o_xs.shape == r_xs.shape, \
+            f"case={case}: ours {o_xs.shape} ref {r_xs.shape}"
+        if r_xs.shape[0]:
+            n_nontrivial += 1
+            np.testing.assert_allclose(o_xs, r_xs, rtol=1e-3, atol=1e-3,
+                                       err_msg=f"case={case}")
+            np.testing.assert_allclose(o_un, r_un, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(o_cs, r_cs, rtol=1e-3, atol=1e-3)
+    assert n_nontrivial >= 8
+
+
+def test_zero_association_kills_all_tracks(ref):
+    """Reference quirk: a frame whose measurements match nothing drops the
+    whole track set (update_tracks:612-614) and respawns from the frame."""
+    import jax.numpy as jnp
+    from groomed_nms_tpu.models.kalman import Tracks, track_step
+    rng = np.random.default_rng(3)
+    p2 = _p2()
+    meas0 = _random_meas(rng, 3)
+    far = _random_meas(rng, 2)
+    far[:, 6] += 40.0          # nowhere near the tracks
+    far[:, 0] += 1000.0
+
+    tracks = ref.RPN.initialize_tracks(
+        ref.shim, [torch.from_numpy(meas0.copy())])
+    bm = [torch.from_numpy(far.copy())]
+    tracks = ref.RPN.forecast_tracks(ref.shim, tracks,
+                                     [torch.from_numpy(p2.copy())])
+    a_tr, a_me = ref.RPN.associate_tracks(ref.shim, tracks, bm)
+    assert a_tr[0] == []
+    tracks = ref.RPN.update_tracks(ref.shim, tracks, bm, a_tr, a_me)
+    assert tracks[0] is None
+    tracks = ref.RPN.add_unused_measurements(ref.shim, tracks, bm, a_me)
+    r_xs, r_un, _ = _ref_state(tracks[0])
+    assert r_xs.shape[0] == 2
+
+    ours = Tracks.empty(8)
+    ours = track_step(ours, jnp.asarray(meas0), jnp.ones(3, bool),
+                      jnp.zeros(6), jnp.asarray(p2), apply_pose=False)
+    ours = track_step(ours, jnp.asarray(far), jnp.ones(2, bool),
+                      jnp.zeros(6), jnp.asarray(p2), apply_pose=False)
+    o_xs, o_un, _ = _our_state(ours)
+    assert o_xs.shape[0] == 2
+    np.testing.assert_allclose(o_xs, r_xs, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(o_un, r_un, rtol=1e-5, atol=1e-6)

@@ -74,8 +74,10 @@ def _install_stubs():
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.models = types.ModuleType("torchvision.models")
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv.transforms
+        sys.modules["torchvision.models"] = tv.models
     if "lib.nms.gpu_nms" not in sys.modules:
         m = types.ModuleType("lib.nms.gpu_nms")
 
