@@ -78,6 +78,13 @@ def _install_stubs():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv.transforms
         sys.modules["torchvision.models"] = tv.models
+    if "plot.plotting_params" not in sys.modules:
+        # the real module needs the removed-in-3.12 `imp` module and a
+        # matplotlib<3.4 rcParams format; only style constants live there
+        m = types.ModuleType("plot.plotting_params")
+        m.DPI, m.ms, m.lw, m.alpha, m.size, m.fs = 100, 6, 2, 0.9, (10, 6), 12
+        m.matplotlib_update = lambda *a, **k: None
+        sys.modules["plot.plotting_params"] = m
     if "lib.nms.gpu_nms" not in sys.modules:
         m = types.ModuleType("lib.nms.gpu_nms")
 
