@@ -19,7 +19,12 @@ Covered operator families (>=100 random cases each):
   * compute_targets (fg/bg/ign assignment + transforms)
     .............................................. lib/rpn_util.py:411-523
   * APLoss forward + backward ............... lib/loss/aploss.py:14-97
+  * RankNetLoss (+weight_by_diff) + gradient ... lib/loss/ranknetloss.py
+  * CustomLoss (hand-gradient MSE) ............. lib/loss/custom_loss.py
 
+Companion modules: tests/test_loss_differential.py (full RPN_3D_loss),
+tests/test_kalman_differential.py (tracker), and
+tests/test_decode_tail_differential.py (im_detect_3d + KITTI writer).
 Skipped wholesale when torch or the reference checkout is absent.
 """
 
@@ -512,3 +517,87 @@ def test_aploss_matches_reference(ref):
                                    t_logits.grad.numpy(),
                                    rtol=1e-3, atol=1e-5,
                                    err_msg=f"case={case} grad")
+
+
+# ---------------------------------------------------------------------------
+# RankNet + CustomLoss
+# ---------------------------------------------------------------------------
+
+def test_ranknet_matches_reference(ref):
+    """Our both-directions mean equals the reference's positive-pair mean
+    (BCE-with-logits is symmetric across a pair's two orderings); padded
+    entries (reference sentinel -100) join no pairs."""
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    from groomed_nms_tpu.losses import ranknet_loss
+    rknet = importlib.import_module("lib.loss.ranknetloss")
+    rng = np.random.default_rng(12)
+    for case in range(100):
+        n = int(rng.integers(3, 24))
+        scores = rng.normal(0, 2.0, n).astype(np.float32)
+        rel = rng.choice([0.0, 1.0, 2.0], n).astype(np.float32)
+        pad = rng.random(n) < 0.2
+        rel_ref = rel.copy()
+        rel_ref[pad] = -100.0
+        for wbd in (False, True):
+            r = rknet.RankNetLoss()(torch.from_numpy(scores.copy()),
+                                    torch.from_numpy(rel_ref.copy()),
+                                    weight_by_diff=wbd)
+            o = ranknet_loss(jnp.asarray(scores), jnp.asarray(rel),
+                             valid_mask=jnp.asarray(~pad),
+                             weight_by_diff=wbd)
+            if np.isnan(float(r.item())):
+                # degenerate input (padded entries but no differing valid
+                # pair): the reference means over an EMPTY pair set -> NaN;
+                # we define the loss as 0 there (trainable-safe)
+                assert float(o) == 0.0
+                continue
+            if wbd:
+                # the reference's weighted mode is a torch BCEWithLogitsLoss
+                # WEIGHTED MEAN (sum(w*bce)/count, not /sum(w)); ours
+                # matches that contract
+                np.testing.assert_allclose(float(o), float(r.item()),
+                                           rtol=1e-4, atol=1e-6,
+                                           err_msg=f"case={case} wbd")
+            else:
+                np.testing.assert_allclose(float(o), float(r.item()),
+                                           rtol=1e-4, atol=1e-6,
+                                           err_msg=f"case={case}")
+        if case % 5:
+            continue  # gradient check on every 5th case (runtime)
+        # gradient parity (unweighted)
+        t = torch.from_numpy(scores.copy()).requires_grad_(True)
+        rl = rknet.RankNetLoss()(t * 1.0, torch.from_numpy(rel_ref.copy()))
+        if np.isnan(float(rl.item())):
+            continue
+        rl.backward()
+        g = jax.grad(lambda s: ranknet_loss(
+            s, jnp.asarray(rel), valid_mask=jnp.asarray(~pad)))(
+            jnp.asarray(scores))
+        np.testing.assert_allclose(np.asarray(g), t.grad.numpy(),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_custom_loss_matches_reference(ref):
+    """Hand-gradient MSE (lib/loss/custom_loss.py): value + gradient."""
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    from groomed_nms_tpu.losses.custom_loss import custom_mse
+    closs = importlib.import_module("lib.loss.custom_loss")
+    rng = np.random.default_rng(13)
+    for case in range(100):
+        n = int(rng.integers(1, 50))
+        logits = rng.normal(0, 2.0, n).astype(np.float32)
+        targets = rng.normal(0, 2.0, n).astype(np.float32)
+        t = torch.from_numpy(logits.copy()).requires_grad_(True)
+        r = closs.CustomLoss()(t, torch.from_numpy(targets.copy()))
+        r.backward()
+        val, g = jax.value_and_grad(
+            lambda x: custom_mse(x, jnp.asarray(targets)))(
+            jnp.asarray(logits))
+        np.testing.assert_allclose(float(val), float(r.item()),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g), t.grad.numpy(),
+                                   rtol=1e-5, atol=1e-7)
