@@ -351,3 +351,102 @@ def test_reference_2d_loss_aliasing_quirk(ref):
                                rtol=2e-4, atol=1e-5)
     # and with identical raw inputs the values must genuinely differ
     assert abs(r_stats["bbox_2d"] - o_stats["bbox_2d"]) > 1e-3
+
+
+def test_self_balancing_un_path_matches_reference(ref):
+    """The `_un` variant: bbox_3d carries an 11th confidence channel, the
+    3D terms are confidence-weighted, a (1 - conf) regulariser uses the
+    SELF-BALANCING lambda (running mean of the unweighted 3D loss, capped
+    at 100 frames, rpn_3d.py:1319-1342).  Two consecutive steps compare
+    the stateful lambda evolution, every term, and the gradients
+    (including the confidence channel's, via bbox_3d col 10)."""
+    import jax
+    import jax.numpy as jnp
+    from groomed_nms_tpu.losses import LossConfig
+    from groomed_nms_tpu.losses.rpn_3d import (GTBatch, UncertaintyState,
+                                               rpn_3d_loss)
+
+    rng = np.random.default_rng(77)
+    case = _make_case(rng, with_ign=False)
+    # widen bbox_3d with the confidence channel in (0, 1)
+    un_ch = rng.uniform(0.2, 0.95, (B, R, 1)).astype(np.float32)
+    case["bbox_3d"] = np.concatenate([case["bbox_3d"], un_ch], axis=-1)
+    case2 = dict(case)
+    case2["bbox_3d"] = case["bbox_3d"] + rng.normal(
+        0, 0.05, case["bbox_3d"].shape).astype(np.float32)
+    case2["bbox_3d"][..., 10] = np.clip(case2["bbox_3d"][..., 10],
+                                        0.05, 0.98)
+
+    conf = _make_conf(case["anchors"], case["means"], case["stds"],
+                      bbox_2d_lambda=0.0, has_un=True, bbox_un_dynamic=True,
+                      use_acceptance_prob_in_regression_loss=False)
+    crit = ref.RPN_3D_loss(conf, verbose=True)
+
+    def run_ref(c):
+        t_cls = torch.from_numpy(c["cls"].copy()).requires_grad_(True)
+        t_b2 = torch.from_numpy(c["bbox_2d"].copy()).requires_grad_(True)
+        t_b3 = torch.from_numpy(c["bbox_3d"].copy()).requires_grad_(True)
+        t_prob = torch.softmax(t_cls, dim=-1)
+        rois_t = torch.from_numpy(np.tile(c["rois"][None], (B, 1, 1)).copy())
+        rois3d_t = torch.from_numpy(
+            np.tile(c["rois_3d_full"][None], (B, 1, 1)).copy())
+        cen_t = torch.from_numpy(np.tile(c["cen"][None], (B, 1, 1)).copy())
+        loss, stats = crit(t_cls * 1.0, t_prob, t_b2 * 1.0, t_b3 * 1.0,
+                           c["imobjs"], [FH, FW], rois=rois_t,
+                           rois_3d=rois3d_t, rois_3d_cen=cen_t)
+        loss.backward()
+        sv = {s["name"]: float(np.asarray(s["val"])) for s in stats}
+        return float(loss.item()), sv, t_b3.grad.numpy()
+
+    lcfg = LossConfig(
+        num_classes=C, fg_fraction=0.2, box_samples=0.0,
+        hard_negatives=True, focal_loss=0.0, cls_2d_lambda=1.0,
+        iou_2d_lambda=1.0, bbox_2d_lambda=0.0, bbox_3d_lambda=1.0,
+        bbox_axis_head_lambda=0.35, decomp_alpha=True,
+        use_nms_in_loss=False, has_un=True, bbox_un_dynamic=True)
+
+    batch = GTBatch(
+        gts_2d=jnp.asarray(case["gts_2d"]),
+        gts_3d=jnp.asarray(case["gts_3d"]),
+        gt_labels=jnp.asarray(case["gt_labels"]),
+        gt_valid=jnp.asarray(case["gt_valid"]),
+        ign_2d=jnp.asarray(case["ign_2d"]),
+        ign_valid=jnp.asarray(case["ign_valid"]),
+        p2=jnp.asarray(np.tile(case["p2"][None], (B, 1, 1))),
+        scale=jnp.ones((B,), jnp.float32))
+    rois = jnp.asarray(case["rois"])
+    rois_3d = jnp.asarray(case["rois_3d_full"][:, 4:])
+
+    def run_ours(c, state):
+        def fn(b3):
+            outputs = {"cls": jnp.asarray(c["cls"]),
+                       "prob": jax.nn.softmax(jnp.asarray(c["cls"]), -1),
+                       "bbox_2d": jnp.asarray(c["bbox_2d"]),
+                       "bbox_3d": b3, "accept_prob": None,
+                       "uncertainty": b3[..., 10]}
+            loss, stats, new_state = rpn_3d_loss(
+                outputs, rois, rois_3d, batch, c["means"], c["stds"],
+                state, lcfg)
+            return loss, (stats, new_state)
+        (loss, (stats, new_state)), g3 = jax.value_and_grad(
+            fn, has_aux=True)(jnp.asarray(c["bbox_3d"]))
+        return (float(loss), {k: float(v) for k, v in stats.items()},
+                np.asarray(g3), new_state)
+
+    state = UncertaintyState.init()
+    for step_i, c in enumerate((case, case2)):
+        r_loss, r_stats, r_g3 = run_ref(c)
+        o_loss, o_stats, o_g3, state = run_ours(c, state)
+        np.testing.assert_allclose(o_stats["bbox_3d"], r_stats["bbox_3d"],
+                                   rtol=3e-4, atol=1e-5,
+                                   err_msg=f"step={step_i} bbox_3d")
+        np.testing.assert_allclose(o_stats["un"], r_stats["un"],
+                                   rtol=3e-4, atol=1e-5,
+                                   err_msg=f"step={step_i} un (lambda)")
+        np.testing.assert_allclose(float(state.lam),
+                                   float(crit.bbox_un_lambda),
+                                   rtol=3e-4, atol=1e-5,
+                                   err_msg=f"step={step_i} lambda state")
+        np.testing.assert_allclose(o_loss, r_loss, rtol=3e-4, atol=1e-5)
+        np.testing.assert_allclose(o_g3, r_g3, rtol=2e-3, atol=1e-5,
+                                   err_msg=f"step={step_i} grad bbox_3d+un")
