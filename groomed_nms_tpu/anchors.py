@@ -96,11 +96,20 @@ def learn_anchor_priors(templates, gts_2d, gts_3d, min_overlap=0.2,
             continue
         used[aind] = True
         g = gts_3d[sel]
-        anchors[aind, 4] = g[:, 9].mean()    # z3d (camera depth)
+        # column choices mirror the reference's gt_info reads
+        # (lib/rpn_util.py:126-139): the DEPTH prior is bbox_3d col 2
+        # (cz3d_2d = cz3d + P2[2,3], the projected-center depth the dz
+        # target is measured against) and the ROTATION prior is col 6
+        # (ALPHA -- the drot target is alpha - prior). Rounds 1-2 read
+        # cols 9/10 (cz3d / rotY); self-consistent through the delta
+        # parameterisation but a different anchors artifact than the
+        # released reference's (verified by the round-3 differential,
+        # tests/test_reference_differential.py::test_generate_anchors...).
+        anchors[aind, 4] = g[:, 2].mean()    # cz3d_2d (projected depth)
         anchors[aind, 5] = g[:, 3].mean()    # w3d
         anchors[aind, 6] = g[:, 4].mean()    # h3d
         anchors[aind, 7] = g[:, 5].mean()    # l3d
-        anchors[aind, 8] = g[:, 10].mean()   # rotY
+        anchors[aind, 8] = g[:, 6].mean()    # alpha (see column note above)
         if decomp_alpha:
             anchors[aind, 9] = g[:, 12].mean()   # alpha_sin
             anchors[aind, 10] = g[:, 13].mean()  # alpha_cos

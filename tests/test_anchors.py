@@ -52,11 +52,14 @@ def test_learn_anchor_priors_means():
     g3 = anchor_center(120, 130, 16)
     gts_2d = np.stack([g1, g2, g3])
     gts_3d = np.zeros((3, 16))
-    gts_3d[:, 9] = [10.0, 20.0, 40.0]   # cz3d
+    # the depth prior reads col 2 (cz3d_2d) and the rotation prior col 6
+    # (alpha), matching the reference's gt_info reads (differentially
+    # verified, test_reference_differential.py::test_generate_anchors...)
+    gts_3d[:, 2] = [10.0, 20.0, 40.0]   # cz3d_2d
     gts_3d[:, 3] = [1.5, 1.7, 1.6]      # w3d
     gts_3d[:, 4] = [1.4, 1.6, 1.5]      # h3d
     gts_3d[:, 5] = [3.8, 4.0, 4.2]      # l3d
-    gts_3d[:, 10] = [0.1, 0.3, -0.2]    # rotY
+    gts_3d[:, 6] = [0.1, 0.3, -0.2]     # alpha
     gts_3d[:, 12] = [0.0, 0.2, 0.5]     # alpha_sin
     gts_3d[:, 13] = [-1.0, -0.8, -0.9]  # alpha_cos
     anchors = learn_anchor_priors(templates, gts_2d, gts_3d)

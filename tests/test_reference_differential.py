@@ -601,3 +601,111 @@ def test_custom_loss_matches_reference(ref):
                                    rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(np.asarray(g), t.grad.numpy(),
                                    rtol=1e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# anchor prior learning (generate_anchors)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("has_vel", [False, True])
+def test_generate_anchors_matches_reference(ref, has_vel):
+    """Full anchor-prior learning vs the reference's generate_anchors
+    (lib/rpn_util.py:24-216) on a fake imdb: template layout, per-anchor
+    assignment (best anchor per GT at IoU > 0.2), the column choices for
+    the depth (cz3d_2d) and rotation (alpha) priors, sin/cos means, the
+    vel >= 0 filter, and unused-anchor removal.
+
+    This differential caught a rounds-1-2 column transcription slip: the
+    depth/rotation priors read bbox_3d cols 9/10 (cz3d / rotY) instead of
+    the reference's cols 2/6 (cz3d_2d / alpha) -- self-consistent through
+    the delta parameterisation, but a different anchors artifact than the
+    released reference's."""
+    from easydict import EasyDict
+    from groomed_nms_tpu.anchors import (anchor_center,
+                                         generate_anchor_templates,
+                                         learn_anchor_priors)
+    rng = np.random.default_rng(20 + has_vel)
+    scales = [24.0, 48.0, 96.0, 180.0]
+    ratios = [0.5, 1.0, 1.5]
+    stride = 16
+    lbls = ["Car", "Pedestrian", "Cyclist"]
+
+    for case in range(10):
+        imobjs = []
+        cen2d, g3d_rows = [], []
+        for imind in range(8):
+            im_h = 370 + int(rng.integers(0, 8))
+            scale = 512.0 / im_h
+            gts = []
+            # velocity presence is per-IMAGE (the reference's tracking imdb
+            # appends the vel column to every gt of a tracked frame)
+            im_has_vel = has_vel and rng.random() < 0.6
+            for gi in range(int(rng.integers(0, 5))):
+                w = float(rng.uniform(15, 180))
+                h = float(rng.uniform(15, 150))
+                x, y = float(rng.uniform(0, 900)), float(rng.uniform(0, 200))
+                cols = 17 if im_has_vel else 16
+                g3 = rng.normal(0, 3.0, cols)
+                g3[3:6] = np.abs(g3[3:6]) + 0.8
+                g3[2] = rng.uniform(5, 50)           # cz3d_2d
+                g3[9] = g3[2] - 0.004                # cz3d (offset by p2_h)
+                if cols == 17:
+                    g3[16] = rng.uniform(-0.5, 2.0)  # some negative vels
+                vis = float(rng.choice([1.0, 0.66, 0.1]))
+                ign = bool(rng.random() < 0.15)
+                gts.append(EasyDict(
+                    ign=ign, visibility=vis, cls=str(rng.choice(
+                        lbls + ["Van"])),
+                    bbox_full=np.array([x, y, w, h]),
+                    bbox_3d=list(g3)))
+            imobjs.append(EasyDict(gts=gts, scale=1.0, imH=im_h))
+
+            # our preprocessing mirror (prepare_anchors pass 1)
+            for gt in gts:
+                sc = 1.0 * 512.0 / im_h
+                keep = (not gt.ign) and gt.visibility >= 0.05 \
+                    and gt.bbox_full[3] * sc >= 0 and gt.cls in lbls
+                if not keep:
+                    continue
+                bw, bh = gt.bbox_full[2] * sc, gt.bbox_full[3] * sc
+                cen2d.append(anchor_center(bw, bh, stride))
+                row = np.full(17, -np.inf)
+                g3 = np.asarray(gt.bbox_3d)
+                row[:len(g3)] = g3
+                if len(g3) == 17 and g3[16] < 0:
+                    row[16] = -np.inf    # matches the vel >= 0 filter via
+                    #                      our -inf no-velocity sentinel
+                g3d_rows.append(row)
+
+        conf = EasyDict(
+            anchor_scales=scales, anchor_ratios=ratios, feat_stride=stride,
+            has_3d=True, decomp_alpha=True, has_vel=has_vel, lbls=lbls,
+            ilbls=["Van"], min_gt_vis=0.05, min_gt_h=0.0, test_scale=512)
+        ref.rpn.generate_anchors(conf, imobjs, None)
+        r_anchors = conf.anchors           # the reference returns via conf
+
+        templates = generate_anchor_templates(scales, ratios, stride)
+        if cen2d:
+            gts2d = np.asarray(cen2d, np.float32)
+            gts3d = np.asarray(g3d_rows)
+        else:
+            gts2d = np.zeros((0, 4), np.float32)
+            gts3d = np.zeros((0, 17))
+        o_anchors = learn_anchor_priors(templates, gts2d, gts3d,
+                                        decomp_alpha=True, has_vel=has_vel)
+        assert o_anchors.shape == r_anchors.shape, \
+            f"case={case}: {o_anchors.shape} vs {r_anchors.shape}"
+        o = np.asarray(o_anchors, np.float64)
+        r = np.asarray(r_anchors, np.float64)
+        if has_vel:
+            # deliberate divergence: the reference's vel prior is the mean
+            # of an EMPTY list -> NaN for anchors that gathered no velocity
+            # samples (np.mean([]) at lib/rpn_util.py:188), which would
+            # poison the decode; we emit 0 for those anchors
+            vel_col = r.shape[1] - 1
+            ref_nan = np.isnan(r[:, vel_col])
+            assert (o[ref_nan, vel_col] == 0).all()
+            r = r.copy()
+            r[ref_nan, vel_col] = 0.0
+        np.testing.assert_allclose(o, r, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"case={case}")
