@@ -78,12 +78,15 @@ def build_imdb(root, split="training", ids=None, use_3d_for_2d=True,
 
 
 def determine_ignores(gts, lbls, ilbls, min_gt_vis=0.99, min_gt_h=0,
-                      max_gt_h=10e10, scale_factor=1.0):
+                      max_gt_h=10e10, scale_factor=1.0, use_trunc=False):
     """(igns, rmvs) boolean arrays over GT rows.
 
     Reference lib/rpn_util.py:937-962: ignore = wrong-but-related class,
     too occluded, too short/tall, or label-marked; remove = class in neither
     list.  Heights compare against the *scaled* 2D box height.
+    ``use_trunc`` additionally ignores GTs truncated beyond
+    ``max(1 - min_gt_vis, 0)`` -- the reference enables it ONLY in the
+    bbox-stats mean pass (lib/rpn_util.py:595).
     """
     n = len(gts.get("cls", []))
     igns = np.zeros(n, bool)
@@ -91,6 +94,7 @@ def determine_ignores(gts, lbls, ilbls, min_gt_vis=0.99, min_gt_h=0,
     if n == 0:
         return igns, rmvs
     heights = gts["bbox_full"][:, 3] * scale_factor
+    trunc = gts.get("trunc")
     for i in range(n):
         cls = gts["cls"][i]
         ign = bool(gts["ign"][i])
@@ -98,6 +102,8 @@ def determine_ignores(gts, lbls, ilbls, min_gt_vis=0.99, min_gt_h=0,
         ign |= heights[i] < min_gt_h
         ign |= heights[i] > max_gt_h
         ign |= cls in ilbls
+        if use_trunc and trunc is not None:
+            ign |= trunc[i] > max(1 - min_gt_vis, 0)
         igns[i] = ign
         rmvs[i] = cls not in lbls and cls not in ilbls
     return igns, rmvs

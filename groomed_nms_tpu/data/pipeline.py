@@ -32,14 +32,15 @@ def _vel_pad(bbox_3d, has_vel):
     return bbox_3d
 
 
-def _scaled_valid_gts(rec, cfg):
+def _scaled_valid_gts(rec, cfg, use_trunc=False):
     """Filter + scale one record's GTs to network input resolution."""
     if not rec.gts or len(rec.gts.get("cls", [])) == 0:
         return None
     scale = cfg.test_scale / rec.im_h
     gts = scale_labels(rec.gts, scale)
     igns, rmvs = determine_ignores(gts, list(cfg.lbls), list(cfg.ilbls),
-                                   cfg.min_gt_vis, cfg.min_gt_h)
+                                   cfg.min_gt_vis, cfg.min_gt_h,
+                                   use_trunc=use_trunc)
     val = ~igns & ~rmvs
     if not val.any():
         return None
@@ -123,16 +124,20 @@ def prepare_anchors(cfg, imdb, cache_dir=None):
     # stats width: [dx dy dw dh | 3D transforms] -- 13 cols, +1 when has_vel
     # (reference sums/counts at lib/rpn_util.py:628-655; the velocity column
     # gets its OWN count over rows with finite velocity,
-    # lib/rpn_util.py:637-639, so accumulate per-column with finite masks)
+    # lib/rpn_util.py:637-639, so accumulate per-column with finite masks).
+    # The reference's two passes filter DIFFERENTLY: the mean pass ignores
+    # heavily-truncated GTs (use_trunc=True, :595) while the std pass does
+    # not (:667), and the std divides its squared sums by the MEAN pass's
+    # counts (:728) -- reproduced exactly below via
+    #   std^2 = (sum_B x^2 - 2 m sum_B x + N_B m^2) / N_A,  m = sum_A x / N_A
+    # (differentially verified, tests/test_reference_differential.py).
     n3d = (9 if cfg.decomp_alpha else 7) + (1 if cfg.has_vel else 0)
     ncols = 4 + n3d
-    cnt = np.zeros(ncols, np.float64)
-    s = np.zeros(ncols, np.float64)
-    sq = np.zeros(ncols, np.float64)
-    for rec in imdb:
-        sv = _scaled_valid_gts(rec, cfg)
+
+    def fg_rows(rec, use_trunc):
+        sv = _scaled_valid_gts(rec, cfg, use_trunc=use_trunc)
         if sv is None:
-            continue
+            return None
         gts, val, _ = sv
         boxes = gts["bbox_full"][val].astype(np.float32)
         corners = np.stack([boxes[:, 0], boxes[:, 1],
@@ -152,21 +157,43 @@ def prepare_anchors(cfg, imdb, cache_dir=None):
             has_vel=cfg.has_vel)
         fg = np.asarray(tgt.fg_mask)
         if not fg.any():
-            continue
-        rows = np.concatenate(
+            return None
+        return np.concatenate(
             [np.asarray(tgt.transforms_2d)[fg],
              np.asarray(tgt.transforms_3d)[fg, :n3d]],
             axis=1).astype(np.float64)
-        finite = np.isfinite(rows)
-        rows = np.where(finite, rows, 0.0)
-        cnt += finite.sum(0)
-        s += rows.sum(0)
-        sq += (rows ** 2).sum(0)
 
-    if cnt.any():
-        denom = np.maximum(cnt, 1.0)
-        means = s / denom
-        stds = np.sqrt(np.maximum(sq / denom - means ** 2, 1e-12))
+    cnt_a = np.zeros(ncols, np.float64)
+    s_a = np.zeros(ncols, np.float64)
+    cnt_b = np.zeros(ncols, np.float64)
+    s_b = np.zeros(ncols, np.float64)
+    sq_b = np.zeros(ncols, np.float64)
+    for rec in imdb:
+        gts = rec.gts if rec.gts else {}
+        trunc = np.asarray(gts.get("trunc", np.zeros(0)))
+        same = not (trunc > max(1 - cfg.min_gt_vis, 0)).any()
+        rows_a = fg_rows(rec, use_trunc=True)
+        rows_b = rows_a if same else fg_rows(rec, use_trunc=False)
+        for rows, is_a in ((rows_a, True), (rows_b, False)):
+            if rows is None:
+                continue
+            finite = np.isfinite(rows)
+            vals = np.where(finite, rows, 0.0)
+            if is_a:
+                cnt_a += finite.sum(0)
+                s_a += vals.sum(0)
+            if rows is rows_b:
+                cnt_b += finite.sum(0)
+                s_b += vals.sum(0)
+                sq_b += (vals ** 2).sum(0)
+            if is_a and rows is rows_b:
+                break  # same row set: both accumulated above
+
+    if cnt_a.any():
+        denom = cnt_a + 1e-10
+        means = s_a / denom
+        stds = np.sqrt(np.maximum(
+            (sq_b - 2.0 * means * s_b + cnt_b * means ** 2) / denom, 1e-12))
     else:
         means, stds = np.zeros(ncols), np.ones(ncols)
 

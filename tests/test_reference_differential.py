@@ -709,3 +709,118 @@ def test_generate_anchors_matches_reference(ref, has_vel):
             r[ref_nan, vel_col] = 0.0
         np.testing.assert_allclose(o, r, rtol=1e-5, atol=1e-5,
                                    err_msg=f"case={case}")
+
+
+# ---------------------------------------------------------------------------
+# bbox statistics (compute_bbox_stats)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("has_vel", [False, True])
+def test_compute_bbox_stats_matches_reference(ref, has_vel):
+    """Normalisation statistics vs the reference's compute_bbox_stats
+    (lib/rpn_util.py:547-736), including its two asymmetric-filter quirks:
+    the MEAN pass ignores heavily-truncated GTs (use_trunc=True) while the
+    STD pass does not, and the std divides the std-pass squared sums by
+    the MEAN pass's counts. The velocity column keeps its own count over
+    finite-velocity rows."""
+    from easydict import EasyDict
+    from groomed_nms_tpu.config import ExperimentConfig
+    from groomed_nms_tpu.data.pipeline import prepare_anchors
+
+    rng = np.random.default_rng(30 + has_vel)
+    stride = 16
+    lbls = ["Car", "Pedestrian", "Cyclist"]
+    im_h, im_w = 128, 256       # equal to crop -> identical roi grids
+
+    a = 4
+    templates = np.zeros((a, 4), np.float32)
+    for i, s in enumerate((20.0, 36.0, 60.0, 100.0)):
+        c = (stride - 1) / 2.0
+        templates[i] = [c - s / 2, c - s / 2, c + s / 2, c + s / 2]
+    anchors = np.concatenate(
+        [templates,
+         np.abs(rng.normal(1.0, 0.3,
+                           (a, 7 + has_vel))).astype(np.float32) + 0.5],
+        axis=1).astype(np.float64)
+    anchors[:, 4] = rng.uniform(8, 40, a)
+
+    imobjs = []
+    class Rec:
+        pass
+    recs = []
+    for imind in range(10):
+        n = int(rng.integers(1, 5))
+        im_has_vel = has_vel and rng.random() < 0.7
+        gts_list = []
+        d = {"cls": [], "ign": np.zeros(n, bool),
+             "visibility": np.zeros(n), "trunc": np.zeros(n),
+             "bbox_full": np.zeros((n, 4)),
+             "bbox_3d": np.zeros((n, 17 if im_has_vel else 16))}
+        for gi in range(n):
+            w = float(rng.uniform(15, 90))
+            h = float(rng.uniform(15, 80))
+            x = float(rng.uniform(0, im_w - w))
+            y = float(rng.uniform(0, im_h - h))
+            cols = 17 if im_has_vel else 16
+            g3 = rng.normal(0, 2.0, cols)
+            g3[0] = x + w / 2
+            g3[1] = y + h / 2
+            g3[2] = rng.uniform(8, 40)
+            g3[3:6] = np.abs(g3[3:6]) + 0.8
+            if cols == 17:
+                g3[16] = rng.uniform(-0.5, 2.0)
+            vis = float(rng.choice([1.0, 0.66, 0.2]))
+            trunc = float(rng.choice([0.0, 0.3, 0.8]))
+            cls_name = str(rng.choice(lbls + ["Van"]))
+            gts_list.append(EasyDict(
+                ign=False, visibility=vis, trunc=trunc, cls=cls_name,
+                bbox_full=np.array([x, y, w, h]), bbox_3d=list(g3)))
+            d["cls"].append(cls_name)
+            d["visibility"][gi] = vis
+            d["trunc"][gi] = trunc
+            d["bbox_full"][gi] = [x, y, w, h]
+            row = np.full(d["bbox_3d"].shape[1], -np.inf)
+            row[:len(g3)] = g3
+            if cols == 17 and g3[16] < 0:
+                # our no-velocity sentinel mirrors the reference's
+                # dvel = -inf for sub-zero velocities ... the reference
+                # filter acts on the TRANSFORM (> -inf), so a real negative
+                # velocity yields a finite dvel and IS counted: keep it
+                row[16] = g3[16]
+            d["bbox_3d"][gi] = row
+        d["cls"] = np.array(d["cls"])
+        imobjs.append(EasyDict(gts=gts_list, scale=1.0,
+                               imH=im_h, imW=im_w))
+        r = Rec()
+        r.gts = d
+        r.im_h, r.im_w = im_h, im_w
+        recs.append(r)
+
+    conf = EasyDict(
+        anchors=anchors, feat_stride=stride, has_3d=True, decomp_alpha=True,
+        has_vel=has_vel, lbls=lbls, ilbls=["Van"], min_gt_vis=0.5,
+        min_gt_h=im_h * 0.01, test_scale=im_h, crop_size=[im_h, im_w],
+        fg_thresh=0.5, ign_thresh=0.5, bg_thresh_lo=0.0, bg_thresh_hi=0.5,
+        best_thresh=0.35)
+    ref.rpn.compute_bbox_stats(conf, imobjs, None)
+    r_means = np.asarray(conf.bbox_means, np.float64)[0]
+    r_stds = np.asarray(conf.bbox_stds, np.float64)[0]
+
+    cfg = ExperimentConfig(
+        anchor_scales_count=4, crop_size=(im_h, im_w), test_scale=im_h,
+        min_gt_vis=0.5, percent_anc_h=(0.01, 0.75), has_vel=has_vel,
+        fg_thresh=0.5, ign_thresh=0.5, bg_thresh_lo=0.0, bg_thresh_hi=0.5,
+        best_thresh=0.35)
+    import groomed_nms_tpu.data.pipeline as pl
+    orig = pl.learn_anchor_priors
+    # pin OUR pass to the same anchors the reference used
+    pl.learn_anchor_priors = lambda *a, **k: anchors.astype(np.float32)
+    try:
+        _, o_means, o_stds = prepare_anchors(cfg, recs, cache_dir=None)
+    finally:
+        pl.learn_anchor_priors = orig
+
+    np.testing.assert_allclose(o_means, r_means, rtol=1e-4, atol=1e-6,
+                               err_msg="means")
+    np.testing.assert_allclose(o_stds, r_stds, rtol=1e-4, atol=1e-6,
+                               err_msg="stds")
