@@ -353,3 +353,92 @@ def test_decode_tail_groomed_nms_keep_set(ref, tmp_path):
     ref_sorted = np.asarray(sorted(map(tuple, aboxes[:, :4])), np.float64)
     our_sorted = np.asarray(sorted(map(tuple, ours[:, :4])), np.float64)
     np.testing.assert_allclose(our_sorted, ref_sorted, rtol=1e-4, atol=1e-3)
+
+
+def test_decode_tail_groomed_nms_3d_overlap_keep_set(ref, tmp_path):
+    """GrooMeD decode with overlap_in_nms='product' (2D IoU x mapped GIoU-3D
+    from backprojected cuboid corners, lib/rpn_util.py:1270-1290): keep
+    sets must agree."""
+    import jax.numpy as jnp
+    from groomed_nms_tpu.anchors import locate_anchors
+    from groomed_nms_tpu.inference import DetectConfig, im_detect_3d
+
+    rng = np.random.default_rng(7)
+    im_h, im_w = 96, 320
+    test_h = 128
+    sf = test_h / im_h
+    fh, fw = 8, int(round(im_w * sf) // 16)
+    a = 4
+    templates = np.zeros((a, 4), np.float32)
+    for i, s in enumerate((24.0, 40.0, 64.0, 96.0)):
+        c = 7.5
+        templates[i] = [c - s / 2, c - s / 2, c + s / 2, c + s / 2]
+    anchors = np.concatenate(
+        [templates,
+         np.abs(rng.normal(1.0, 0.3, (a, 7))).astype(np.float32) + 0.5],
+        axis=1).astype(np.float32)
+    anchors[:, 4] = rng.uniform(10, 40, a)
+    rois = np.asarray(locate_anchors(anchors, (fh, fw), 16), np.float32)
+    r = rois.shape[0]
+    rois_3d = anchors[rois[:, 4].astype(np.int64), 4:]
+    means = np.zeros(13, np.float32)
+    stds = np.ones(13, np.float32) * 0.25
+    p2 = np.eye(4)
+    p2[0, 0] = p2[1, 1] = 350.0
+    p2[0, 2], p2[1, 2] = im_w * sf / 2, test_h / 2
+
+    prob = rng.dirichlet(np.ones(4) * 0.5, (1, r)).astype(np.float32)
+    bbox_2d = rng.normal(0, 0.4, (1, r, 4)).astype(np.float32)
+    bbox_3d = rng.normal(0, 0.4, (1, r, 11)).astype(np.float32)
+    bbox_3d[..., 8:10] = rng.uniform(0, 1, (1, r, 2))
+    bbox_3d[..., 10] = rng.uniform(0.3, 1.0, (1, r))
+
+    topn = 48
+    conf = _make_conf(anchors, means, stds, topn, topn)
+    conf.use_nms_in_loss = True
+    conf.diff_nms_pruning_method = "linear"
+    conf.diff_nms_temperature = 0.1
+    conf.diff_nms_valid_box_prob_threshold = 0.3
+    conf.diff_nms_group_boxes = True
+    conf.diff_nms_mask_group_boxes = True
+    conf.diff_nms_group_size = 100
+    conf.overlap_in_nms = "product"
+    conf.clip_boxes = False
+
+    net = _FakeNet(prob, bbox_2d, bbox_3d, rois)
+
+    def preprocess(img):
+        h, w = img.shape[:2]
+        return np.zeros((3, int(test_h), int(round(w * test_h / h))),
+                        np.float32)
+
+    im = np.zeros((im_h, im_w, 3), np.uint8)
+    aboxes = ref.im_detect_3d(im, net, conf, preprocess, p2.copy())
+    assert aboxes.shape[0] > 0
+
+    dcfg = DetectConfig(
+        num_classes=4, nms_topN_pre=topn, nms_topN_post=topn,
+        nms_thres=conf.nms_thres, score_thres=conf.score_thres,
+        clip_boxes=False, use_differentiable_nms=True,
+        diff_nms_boxes=topn, diff_nms_temperature=0.1,
+        overlap_in_nms="product", use_acceptance_prob_for_nms=True,
+        decomp_alpha=True)
+    outputs = {
+        "prob": jnp.asarray(prob),
+        "bbox_2d": jnp.asarray(bbox_2d),
+        "bbox_3d": jnp.asarray(bbox_3d),
+        "accept_prob": None,
+        "uncertainty": jnp.asarray(bbox_3d[..., 10]),
+    }
+    dets, valid = im_detect_3d(
+        outputs, jnp.asarray(rois), jnp.asarray(rois_3d),
+        jnp.asarray(p2[None].astype(np.float32)),
+        jnp.asarray(np.linalg.inv(p2)[None].astype(np.float32)),
+        jnp.asarray([sf], np.float32), means, stds, dcfg)
+    ours = np.asarray(dets[0])[np.asarray(valid[0])]
+
+    assert ours.shape[0] == aboxes.shape[0], \
+        (ours.shape[0], aboxes.shape[0])
+    ref_sorted = np.asarray(sorted(map(tuple, aboxes[:, :4])), np.float64)
+    our_sorted = np.asarray(sorted(map(tuple, ours[:, :4])), np.float64)
+    np.testing.assert_allclose(our_sorted, ref_sorted, rtol=1e-4, atol=1e-3)

@@ -21,6 +21,8 @@ Covered operator families (>=100 random cases each):
   * APLoss forward + backward ............... lib/loss/aploss.py:14-97
   * RankNetLoss (+weight_by_diff) + gradient ... lib/loss/ranknetloss.py
   * CustomLoss (hand-gradient MSE) ............. lib/loss/custom_loss.py
+  * generate_anchors (priors + assignment) . lib/rpn_util.py:24-216
+  * compute_bbox_stats (asymmetric passes) . lib/rpn_util.py:547-736
 
 Companion modules: tests/test_loss_differential.py (full RPN_3D_loss),
 tests/test_kalman_differential.py (tracker), and
