@@ -182,6 +182,22 @@ def test_train_script_video_dispatch(tmp_path):
         "video train must run hermetically on CPU"
     assert "freezing" in log_text
 
+    # ---- pose-branch training (reference scripts/train_pose.py): frozen
+    # trunk, L1 pose loss on consecutive-frame pairs with ego labels
+    pose = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train_pose.py"),
+         "--config", "tiny_video_synthetic", "--data-root", str(data_root),
+         "--output", str(out_root), "--max-iter", "2"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert pose.returncode == 0, pose.stderr[-3000:]
+    assert "backend=cpu" in pose.stderr + pose.stdout
+    pose_dir = out_root / "tiny_video_synthetic_pose"
+    assert (pose_dir / "pose_net_params.npz").exists()
+    assert (pose_dir / "pose_stats.npz").exists()
+    z = np.load(pose_dir / "pose_stats.npz")
+    assert z["means"].shape == (6,) and np.isfinite(z["means"]).all()
+
     # ---- video eval tail (reference scripts/test_kalman.py): per-frame
     # detections + Kalman smoothing over the clip -> KITTI txt + evaluator
     kitti = data_root / "kitti_split1"
