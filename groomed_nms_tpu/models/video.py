@@ -84,6 +84,10 @@ def extract_measurements(outputs, rois, rois_3d, p2, p2_inv, scale,
 
     coords_2d = bbox_transform_inv(rois[None, :, :4], outputs.bbox_2d,
                                    means=means[:4], stds=stds[:4])
+    # clean_and_denorm (..._un_kalman.py:196-199) re-derives this decode
+    # WITHOUT bbox_transform_inv's -1 end correction (rpn_util.py:925-926);
+    # compensate so video measurements match the reference bit-for-bit
+    coords_2d = coords_2d.at[..., 2:4].add(1.0)
     coords_2d = coords_2d / scale[:, None, None]
 
     widths = rois[:, 2] - rois[:, 0] + 1.0

@@ -50,7 +50,14 @@ def ref(request):
         had[name] = getattr(torch.cuda, name, None)
         setattr(torch.cuda, name, repl)
 
+    import models.densenet121_3d_dilate_decomp_alpha_un_kalman as kal_mod
     from models.densenet121_3d_dilate_decomp_alpha_un_kalman import RPN
+    from lib.nms.py_cpu_nms import py_cpu_nms
+
+    # clean_and_denorm calls the module-level gpu_nms binding
+    orig_gpu_nms = kal_mod.gpu_nms
+    kal_mod.gpu_nms = lambda dets, thresh, device_id=0: py_cpu_nms(dets,
+                                                                   thresh)
 
     class Shim:
         lambda_o = 0.2
@@ -72,6 +79,7 @@ def ref(request):
 
     def restore():
         torch.Tensor.cuda = orig_cuda
+        kal_mod.gpu_nms = orig_gpu_nms
         for name, orig in had.items():
             if orig is None:
                 delattr(torch.cuda, name)
@@ -300,3 +308,110 @@ def test_zero_association_kills_all_tracks(ref):
     assert o_xs.shape[0] == 2
     np.testing.assert_allclose(o_xs, r_xs, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(o_un, r_un, rtol=1e-5, atol=1e-6)
+
+
+def test_extract_measurements_matches_reference(ref):
+    """Per-frame measurement decode (our extract_measurements vs the
+    reference's clean_and_denorm, ..._un_kalman.py:156-327): score
+    threshold, per-image classical NMS, anchor decode, the z2d - p2_h
+    closed-form backprojection, alpha->rotY (no head flip at this stage),
+    the /scale down-scaling, and the confidence column."""
+    import types as _types
+
+    import jax.numpy as jnp
+    from groomed_nms_tpu.anchors import locate_anchors
+    from groomed_nms_tpu.models.video import VideoConfig, extract_measurements
+
+    rng = np.random.default_rng(5)
+    stride = 16
+    fh, fw = 6, 12
+    a = 4
+    templates = np.zeros((a, 4), np.float32)
+    for i, s in enumerate((24.0, 40.0, 64.0, 96.0)):
+        c = (stride - 1) / 2.0
+        templates[i] = [c - s / 2, c - s / 2, c + s / 2, c + s / 2]
+    anchors = np.concatenate(
+        [templates,
+         np.abs(rng.normal(1.0, 0.3, (a, 7))).astype(np.float32) + 0.5],
+        axis=1).astype(np.float32)
+    anchors[:, 4] = rng.uniform(10, 40, a)
+    rois = np.asarray(locate_anchors(anchors, (fh, fw), stride), np.float32)
+    r = rois.shape[0]
+    rois_3d_full = anchors[rois[:, 4].astype(np.int64)]
+
+    means = np.concatenate([np.zeros(4),
+                            rng.normal(0, 0.02, 9)]).astype(np.float32)
+    stds = np.concatenate([np.full(4, 0.2),
+                           rng.uniform(0.2, 0.5, 9)]).astype(np.float32)
+    p2 = np.eye(4, dtype=np.float32)
+    p2[0, 0] = p2[1, 1] = 300.0
+    p2[0, 2], p2[1, 2] = 100.0, 50.0
+    p2[2, 3] = 0.003
+    scale = 1.35
+
+    shim = ref.shim
+    shim.rois = torch.from_numpy(rois.copy())
+    shim.rois_widths = shim.rois[:, 2] - shim.rois[:, 0] + 1.0
+    shim.rois_heights = shim.rois[:, 3] - shim.rois[:, 1] + 1.0
+    shim.rois_ctr_x = shim.rois[:, 0] + 0.5 * shim.rois_widths
+    shim.rois_ctr_y = shim.rois[:, 1] + 0.5 * shim.rois_heights
+    shim.rois_3d = torch.from_numpy(rois_3d_full.copy())
+    shim.bbox_means = means[None, :]
+    shim.bbox_stds = stds[None, :]
+    shim.score_thres = 0.5
+    shim.nms_thres = 0.4
+
+    n_nonempty = 0
+    for case in range(10):
+        # background-heavy scores with a sparse hot set: our fixed
+        # max_measurements slots (a deliberate fixed-shape design; real
+        # frames carry far fewer >thresh detections) must not truncate the
+        # candidate set the reference sees
+        prob = rng.dirichlet(np.ones(4) * 0.5, (1, r)).astype(np.float32)
+        prob[0, :, 0] += 2.0
+        prob /= prob.sum(-1, keepdims=True)
+        hot = rng.choice(r, 12, replace=False)
+        for hi in hot:
+            p_fg = rng.uniform(0.55, 0.95)
+            prob[0, hi] = [(1 - p_fg) / 1.5, p_fg, (1 - p_fg) / 3,
+                           (1 - p_fg) / 6]
+        bbox_2d = rng.normal(0, 0.4, (1, r, 4)).astype(np.float32)
+        bbox_3d = rng.normal(0, 0.4, (1, r, 11)).astype(np.float32)
+        bbox_3d[..., 8:10] = rng.uniform(0, 1, (1, r, 2))
+        bbox_3d[..., 10] = rng.uniform(0.3, 1.0, (1, r))
+        cls_logits = np.log(np.clip(prob, 1e-9, None))
+
+        out_t = [torch.from_numpy(cls_logits.copy()),
+                 torch.from_numpy(prob.copy()),
+                 torch.from_numpy(bbox_2d.copy()),
+                 torch.from_numpy(bbox_3d.copy())]
+        boxes_batch, _ = ref.RPN.clean_and_denorm(
+            shim, out_t, [p2], [np.linalg.inv(p2)], [scale])
+        rb = boxes_batch[0]
+        ref_rows = np.zeros((0, 15)) if rb is None else rb.detach().numpy()
+
+        outputs = _types.SimpleNamespace(
+            prob=jnp.asarray(prob), bbox_2d=jnp.asarray(bbox_2d),
+            bbox_3d=jnp.asarray(bbox_3d),
+            uncertainty=jnp.asarray(bbox_3d[..., 10]))
+        vcfg = VideoConfig(max_measurements=32, score_thres=0.5,
+                           nms_thres=0.4)
+        meas, valid = extract_measurements(
+            outputs, jnp.asarray(rois), jnp.asarray(rois_3d_full[:, 4:]),
+            jnp.asarray(p2[None]), jnp.asarray(np.linalg.inv(p2)[None]),
+            jnp.asarray([scale], np.float32), means, stds, vcfg)
+        ours = np.asarray(meas[0])[np.asarray(valid[0])]
+
+        assert ours.shape[0] == ref_rows.shape[0], \
+            f"case={case}: {ours.shape[0]} vs {ref_rows.shape[0]}"
+        if ref_rows.shape[0] == 0:
+            continue
+        n_nonempty += 1
+        o = ours[np.lexsort((ours[:, 1], ours[:, 0]))]
+        rr = ref_rows[np.lexsort((ref_rows[:, 1], ref_rows[:, 0]))]
+        # columns 0-14: [x1 y1 x2 y2 score cls x y z w3 h3 l3 ry head un]
+        np.testing.assert_allclose(o[:, :15].astype(np.float64),
+                                   rr[:, :15].astype(np.float64),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"case={case}")
+    assert n_nonempty >= 5
