@@ -300,48 +300,104 @@ def compute_bbox_stats(per_image_transforms_iter, n_targets):
     return means[None, :], stds[None, :]
 
 
-def cluster_anchors(gt_boxes_wh, n_anchors, iters=50, seed=0):
-    """K-means-by-IoU anchor clustering (host-side, optional).
+def _np_iou_corners(a, b):
+    """Pairwise IoU of corner boxes with the reference's +1 widths."""
+    x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(x2 - x1 + 1, 0, None) * np.clip(y2 - y1 + 1, 0, None)
+    area_a = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+    area_b = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    return inter / (area_a[:, None] + area_b[None, :] - inter)
 
-    Capability match for the reference's ``cluster_anchors``
+
+def normalized_gts_for_clustering(imdb, feat_stride, test_scale, lbls,
+                                  ilbls, min_gt_vis=0.99, min_gt_h=0):
+    """Valid GTs, scaled and re-centered at the anchor origin, for
+    :func:`cluster_anchors`.
+
+    Reference lib/rpn_util.py:248-298: per image, scale the 2D boxes by
+    ``scale * test_scale / imH``, drop removed/ignored GTs (with the
+    ``use_trunc`` variant of the ignore rules), re-center each 2D box at
+    ``anchor_center(w, h, feat_stride)``, and append the UNSCALED 16-col
+    bbox_3d row.  Returns [G, 20] float64, sorted by 2D height ascending.
+    """
+    from .data.imdb import determine_ignores
+
+    rows = []
+    for rec in imdb:
+        gts = rec.gts
+        if not gts or len(gts.get("cls", [])) == 0:
+            continue
+        scale = rec.scale * test_scale / rec.im_h
+        igns, rmvs = determine_ignores(gts, lbls, ilbls, min_gt_vis,
+                                       min_gt_h, np.inf, scale,
+                                       use_trunc=True)
+        keep = (~igns) & (~rmvs)
+        if not keep.any():
+            continue
+        bf = gts["bbox_full"][keep] * scale
+        corners = np.stack([bf[:, 0], bf[:, 1],
+                            bf[:, 0] + bf[:, 2] - 1,
+                            bf[:, 1] + bf[:, 3] - 1], axis=1)
+        w = corners[:, 2] - corners[:, 0] + 1
+        h = corners[:, 3] - corners[:, 1] + 1
+        centered = np.stack([anchor_center(wi, hi, feat_stride)
+                             for wi, hi in zip(w, h)])
+        rows.append(np.concatenate(
+            [centered.astype(np.float64), gts["bbox_3d"][keep, :16]],
+            axis=1))
+    if not rows:
+        return np.zeros((0, 20))
+    out = np.concatenate(rows, axis=0)
+    order = np.argsort(out[:, 3] - out[:, 1] + 1)
+    return out[order]
+
+
+def cluster_anchors(anchors, normalized_gts, feat_stride, rounds=50):
+    """Refine anchors by k-means with 2D-IoU argmax assignment.
+
+    Faithful to the reference's ``cluster_anchors``
     (lib/rpn_util.py:238-408, disabled in every shipped config via
-    ``cluster_anchors=0``): cluster GT (w, h) pairs by 1 - IoU of
-    zero-centered boxes and return the cluster medians as anchor sizes.
+    ``cluster_anchors=0``), including its quirks:
+
+    * exactly ``max_rounds`` (50) update rounds run -- the loop's
+      ``dif > -1000`` condition never triggers, and ``best_anchors``
+      aliases the in-place-updated array, so the FINAL anchors are
+      returned regardless of the per-round "best" bookkeeping
+      (lib/rpn_util.py:313-407);
+    * the 3D prior columns are refilled from normalized-gts columns
+      6..10 = [cz2d, w3d, h3d, l3d, ALPHA] -- the code's comment says
+      rotY, but col 10 of the concatenated row is bbox_3d[6] = alpha
+      (lib/rpn_util.py:322,355-362);
+    * decomp-alpha / velocity prior columns (9+) are NOT updated here
+      (only ``init_anchors`` fills those);
+    * an anchor that attracts no GTs raises ValueError
+      (lib/rpn_util.py:392).
 
     Args:
-      gt_boxes_wh: [G, 2] ground-truth widths/heights.
-      n_anchors: number of clusters.
+      anchors: [A, >=9] anchors from :func:`generate_anchors`.
+      normalized_gts: [G, 20] rows from
+        :func:`normalized_gts_for_clustering`.
+      feat_stride: anchor-centering stride.
 
-    Returns [n_anchors, 2] anchor (w, h), sorted by area.
+    Returns the refined [A, C] anchors (float64 copy).
     """
-    rng = np.random.default_rng(seed)
-    wh = np.asarray(gt_boxes_wh, np.float64)
-    g = wh.shape[0]
-    if g == 0:
-        return np.ones((n_anchors, 2))
-    centers = wh[rng.choice(g, size=min(n_anchors, g), replace=False)]
-    if centers.shape[0] < n_anchors:
-        centers = np.concatenate(
-            [centers, centers[rng.choice(centers.shape[0],
-                                         n_anchors - centers.shape[0])]], 0)
-
-    def iou_wh(a, b):
-        inter = np.minimum(a[:, None, 0], b[None, :, 0]) * \
-            np.minimum(a[:, None, 1], b[None, :, 1])
-        union = a[:, None, 0] * a[:, None, 1] + \
-            b[None, :, 0] * b[None, :, 1] - inter
-        return inter / np.maximum(union, 1e-12)
-
-    assign = None
-    for _ in range(iters):
-        d = 1.0 - iou_wh(wh, centers)
-        new_assign = d.argmin(axis=1)
-        if assign is not None and (new_assign == assign).all():
-            break
-        assign = new_assign
-        for k in range(n_anchors):
-            members = wh[assign == k]
-            if members.shape[0]:
-                centers[k] = np.median(members, axis=0)
-    order = np.argsort(centers[:, 0] * centers[:, 1])
-    return centers[order]
+    anch = np.array(anchors, np.float64, copy=True)
+    gts = np.asarray(normalized_gts, np.float64)
+    if gts.shape[0] == 0:
+        return anch
+    gw = gts[:, 2] - gts[:, 0] + 1
+    gh = gts[:, 3] - gts[:, 1] + 1
+    for _ in range(rounds):
+        ols = _np_iou_corners(anch[:, :4], gts[:, :4])
+        assign = ols.argmax(axis=0)
+        for a in range(anch.shape[0]):
+            m = assign == a
+            if not m.any():
+                raise ValueError(f"Non-used anchor #{a} found")
+            anch[a, :4] = anchor_center(gw[m].mean(), gh[m].mean(),
+                                        feat_stride)
+            anch[a, 4:9] = gts[m, 6:11].mean(axis=0)
+    return anch

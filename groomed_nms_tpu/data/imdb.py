@@ -116,26 +116,50 @@ def class_indices(gts, lbls):
 
 
 def balance_samples(imdb, lbls, ilbls, min_gt_vis, min_gt_h,
-                    fg_image_ratio=1.0):
-    """Per-image sampling weights by fg presence (lib/imdb_util.py:887-937)."""
+                    fg_image_ratio=1.0, max_gt_h=10e10, test_scale=None):
+    """Per-image sampling weights by fg presence.
+
+    Reference ``balance_samples`` (lib/imdb_util.py:887-937):
+
+    * ``fg_image_ratio < 0``: uniform weights;
+    * ``fg_image_ratio == 2``: each image weighted by its VALID GT count
+      (count-proportional sampling);
+    * otherwise: foreground images (>=1 valid GT) share ``fg_image_ratio``
+      of the probability mass uniformly, empty images share the rest --
+      weights ``len(imdb)*ratio/n_fg`` and ``len(imdb)*(1-ratio)/n_bg``.
+      The reference divides by zero when either group is empty; here an
+      empty group keeps the other group's count-based weights (the shipped
+      ``fg_image_ratio=1.0`` then degrades to count-proportional, which
+      normalises to the same uniform-over-fg distribution when every
+      image has GTs).
+
+    GT validity uses the ignore rules at ``test_scale / im_h`` image
+    scaling (reference :905); ``test_scale=None`` keeps heights unscaled.
+    """
     weights = np.ones(len(imdb))
     if fg_image_ratio < 0:
         return weights / weights.sum()
-    has_fg = np.zeros(len(imdb), bool)
+    valid_counts = np.zeros(len(imdb))
     for i, rec in enumerate(imdb):
         if not rec.gts:
             continue
+        scale = (test_scale / rec.im_h) if test_scale else rec.scale
         igns, rmvs = determine_ignores(rec.gts, lbls, ilbls, min_gt_vis,
-                                       min_gt_h, scale_factor=rec.scale)
-        has_fg[i] = np.any(~igns & ~rmvs)
-    n_fg, n_bg = has_fg.sum(), (~has_fg).sum()
-    if n_fg > 0 and n_bg > 0:
-        weights[has_fg] = fg_image_ratio * (n_bg / n_fg)
-        weights[~has_fg] = 1.0 - fg_image_ratio + 1e-12 if fg_image_ratio >= 1.0 \
-            else (1 - fg_image_ratio)
-    elif n_fg == 0:
-        pass
-    return weights / weights.sum()
+                                       min_gt_h, max_gt_h,
+                                       scale_factor=scale)
+        valid_counts[i] = np.count_nonzero(~igns & ~rmvs)
+    weights = valid_counts.copy()
+    if fg_image_ratio != 2:
+        fg = valid_counts > 0
+        n_fg, n_bg = int(fg.sum()), int((~fg).sum())
+        if n_fg > 0:
+            weights[fg] = len(imdb) * fg_image_ratio / n_fg
+        if n_bg > 0:
+            weights[~fg] = len(imdb) * (1 - fg_image_ratio) / n_bg
+    total = weights.sum()
+    if total <= 0:
+        return np.full(len(imdb), 1.0 / max(len(imdb), 1))
+    return weights / total
 
 
 def pad_gt_batch(records_gts, p2s, scales, lbls, ilbls, min_gt_vis, min_gt_h,

@@ -221,7 +221,9 @@ class TrainLoader:
         self.rng = np.random.default_rng(seed)
         self.weights = balance_samples(imdb, list(cfg.lbls), list(cfg.ilbls),
                                        cfg.min_gt_vis, cfg.min_gt_h,
-                                       cfg.fg_image_ratio)
+                                       cfg.fg_image_ratio,
+                                       max_gt_h=cfg.max_gt_h,
+                                       test_scale=cfg.test_scale)
         # a batch must hold ONE image size: the device-side resize applies a
         # single target_h/h0 scale to the whole (padded) batch, so mixing
         # sizes would corrupt per-image scale factors.  Group indices by

@@ -69,6 +69,27 @@ def inverse_rel_pose(pose_pre, pose_rel):
     return pose_pre @ np.linalg.inv(pose_rel)
 
 
+def mirror_ego(ego):
+    """Mirror a relative ego pose for a horizontal image flip.
+
+    Reference ``ego_mirror`` (lib/util.py:411-426): negate the lateral
+    translation and the yaw/roll rotations, snapping the angles to
+    (-pi, pi].  Used wherever pose targets accompany mirrored frames
+    (reference RandomMirror, lib/augmentations.py:290-295).
+    """
+    dx, dy, dz, rx, ry, rz = (float(v) for v in ego)
+    dx, ry, rz = -dx, -ry, -rz
+    while ry > math.pi:
+        ry -= 2 * math.pi
+    while ry < -math.pi:
+        ry += 2 * math.pi
+    while rz > math.pi:
+        rz -= 2 * math.pi
+    while rz < -math.pi:
+        rz += 2 * math.pi
+    return (dx, dy, dz, rx, ry, rz)
+
+
 # ---------------------------------------------------------------------------
 # mapping files
 # ---------------------------------------------------------------------------

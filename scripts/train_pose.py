@@ -46,7 +46,7 @@ def main():
 
     from groomed_nms_tpu.config import load_config
     from groomed_nms_tpu.data.augment import preprocess_images
-    from groomed_nms_tpu.data.tracking import build_tracking_imdb
+    from groomed_nms_tpu.data.tracking import build_tracking_imdb, mirror_ego
     from groomed_nms_tpu.losses.pose import pose_loss
     from groomed_nms_tpu.models.video import VideoConfig, VideoRPN3D
     from groomed_nms_tpu.training import StatTracker, build_lr_schedule
@@ -109,7 +109,7 @@ def main():
     stds_img = jnp.asarray(cfg.image_stds)
     for it in range(cfg.max_iter):
         idx = rs.integers(0, len(imdb), size=cfg.batch_size)
-        imgs, targets = [], []
+        imgs, targets, mirrors = [], [], []
         for i in idx:
             rec = imdb[i]
             frames = []
@@ -117,13 +117,18 @@ def main():
                 with Image.open(path) as im:
                     frames.append(np.asarray(im.convert("RGB"), np.uint8))
             imgs.append(np.stack(frames))
-            ego = np.asarray(rec.egos["10"])
+            # mirror augmentation: flip both frames + the pose target
+            # (reference RandomMirror ego path, lib/augmentations.py:290-295)
+            mirror = rs.random() <= cfg.mirror_prob
+            mirrors.append(mirror)
+            ego = np.asarray(mirror_ego(rec.egos["10"]) if mirror
+                             else rec.egos["10"])
             targets.append((ego - pose_means) / pose_stds)
         imgs = np.stack(imgs)                    # [B, 2, H0, W0, 3]
         b, f, h0, w0, _ = imgs.shape
         flat = preprocess_images(
             jnp.asarray(imgs.reshape(b * f, h0, w0, 3)),
-            jnp.zeros((b * f,), bool), means_img, stds_img,
+            jnp.repeat(jnp.asarray(mirrors, bool), f), means_img, stds_img,
             target_h=cfg.crop_size[0], crop_w=cfg.crop_size[1])
         images = flat.reshape(b, f, cfg.crop_size[0], cfg.crop_size[1], 3)
         params, opt_state, l, stats = step(

@@ -126,8 +126,9 @@ def ref(request):
     import lib.core as core
     import lib.rpn_util as rpn
     import lib.loss.aploss as aploss
+    import lib.imdb_util as imdb_util
     return types.SimpleNamespace(gnms=gnms, core=core, rpn=rpn,
-                                 aploss=aploss)
+                                 aploss=aploss, imdb_util=imdb_util)
 
 
 # ---------------------------------------------------------------------------
@@ -826,3 +827,143 @@ def test_compute_bbox_stats_matches_reference(ref, has_vel):
                                err_msg="means")
     np.testing.assert_allclose(o_stds, r_stds, rtol=1e-4, atol=1e-6,
                                err_msg="stds")
+
+
+def test_cluster_anchors_matches_reference(ref):
+    """Anchor k-means vs the reference's cluster_anchors
+    (lib/rpn_util.py:238-408): the use_trunc GT filter + anchor-origin
+    re-centering, 2D-IoU argmax assignment, per-cluster w/h means through
+    anchor_center (float32), the 3D prior refill from concat cols 6..10
+    (= [cz2d, w3d, h3d, l3d, alpha] -- the code's rotY comment is wrong),
+    and the fixed 50 update rounds with the best_anchors alias quirk."""
+    from easydict import EasyDict
+    from groomed_nms_tpu.anchors import (cluster_anchors,
+                                         normalized_gts_for_clustering)
+
+    rng = np.random.default_rng(77)
+    stride = 16
+    lbls = ["Car", "Pedestrian", "Cyclist"]
+    im_h, im_w = 370, 1224
+    test_scale = 512
+    modes = (20.0, 36.0, 60.0, 100.0)
+
+    a = len(modes)
+    anchors = np.zeros((a, 9))
+    for i, s in enumerate(modes):
+        c = (stride - 1) / 2.0
+        anchors[i, :4] = [c - s / 2, c - s / 2, c + s / 2, c + s / 2]
+    anchors[:, 4] = rng.uniform(8, 40, a)
+    anchors[:, 5:9] = np.abs(rng.normal(1.0, 0.3, (a, 4))) + 0.5
+
+    class Rec:
+        pass
+
+    imobjs, recs = [], []
+    for _ in range(25):
+        n = int(rng.integers(1, 6))
+        gts_list = []
+        d = {"cls": [], "ign": np.zeros(n, bool), "visibility": np.zeros(n),
+             "trunc": np.zeros(n), "bbox_full": np.zeros((n, 4)),
+             "bbox_3d": np.zeros((n, 16))}
+        for gi in range(n):
+            # sizes clustered near the anchor modes (no empty clusters),
+            # in ORIGINAL-image pixels (the builder rescales by
+            # test_scale/imH)
+            s = float(rng.choice(modes)) * rng.uniform(0.8, 1.25) \
+                * im_h / test_scale
+            ar = rng.uniform(0.7, 1.4)
+            w, h = s * ar, s
+            x = float(rng.uniform(0, im_w - w))
+            y = float(rng.uniform(0, im_h - h))
+            g3 = rng.normal(0, 2.0, 16)
+            g3[2] = rng.uniform(8, 40)
+            g3[3:6] = np.abs(g3[3:6]) + 0.8
+            vis = float(rng.choice([1.0, 0.66, 0.2]))
+            trunc = float(rng.choice([0.0, 0.3, 0.8]))
+            cls_name = str(rng.choice(lbls + ["Van", "DontCare"]))
+            gts_list.append(EasyDict(
+                ign=False, visibility=vis, trunc=trunc, cls=cls_name,
+                bbox_full=np.array([x, y, w, h]), bbox_3d=g3.copy()))
+            d["cls"].append(cls_name)
+            d["visibility"][gi] = vis
+            d["trunc"][gi] = trunc
+            d["bbox_full"][gi] = [x, y, w, h]
+            d["bbox_3d"][gi] = g3
+        d["cls"] = np.array(d["cls"])
+        imobjs.append(EasyDict(gts=gts_list, scale=1.0, imH=im_h, imW=im_w))
+        r = Rec()
+        r.gts = d
+        r.scale = 1.0
+        r.im_h, r.im_w = im_h, im_w
+        recs.append(r)
+
+    ref_out = ref.rpn.cluster_anchors(
+        stride, anchors.copy(), test_scale, imobjs, lbls, ["Van"], [1.0],
+        min_gt_vis=0.5, min_gt_h=0)
+
+    gts = normalized_gts_for_clustering(recs, stride, test_scale, lbls,
+                                        ["Van"], min_gt_vis=0.5, min_gt_h=0)
+    ours = cluster_anchors(anchors, gts, stride)
+
+    np.testing.assert_allclose(ours, np.asarray(ref_out, np.float64),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_balance_samples_matches_reference(ref):
+    """Sampling weights vs the reference's balance_samples
+    (lib/imdb_util.py:887-937), for the shipped fg_image_ratio=1.0, a
+    mixed 0.7 ratio, the count-proportional ratio==2 mode, and the
+    uniform ratio<0 mode.  Mixed fg/empty imdb so the reference's
+    zero-division edge is not hit."""
+    from easydict import EasyDict
+    from groomed_nms_tpu.data.imdb import balance_samples
+
+    rng = np.random.default_rng(13)
+    lbls = ["Car", "Pedestrian", "Cyclist"]
+    im_h, im_w = 370, 1224
+    test_scale = 512
+
+    class Rec:
+        pass
+
+    imobjs, recs = [], []
+    for imind in range(30):
+        # ~1/3 empty images, some with only removed/ignored GTs
+        n = 0 if imind % 3 == 0 else int(rng.integers(1, 5))
+        gts_list = []
+        d = {"cls": [], "ign": np.zeros(n, bool), "visibility": np.zeros(n),
+             "trunc": np.zeros(n), "bbox_full": np.zeros((n, 4)),
+             "bbox_3d": np.zeros((n, 16))}
+        for gi in range(n):
+            w = float(rng.uniform(10, 200))
+            h = float(rng.uniform(5, 200))     # some below min_gt_h
+            x, y = float(rng.uniform(0, 900)), float(rng.uniform(0, 200))
+            vis = float(rng.choice([1.0, 0.66, 0.2]))
+            cls_name = str(rng.choice(lbls + ["Van", "DontCare"]))
+            gts_list.append(EasyDict(
+                ign=bool(rng.random() < 0.1), visibility=vis, trunc=0.0,
+                cls=cls_name, bbox_full=np.array([x, y, w, h]),
+                bbox_3d=np.zeros(16)))
+            d["cls"].append(cls_name)
+            d["ign"][gi] = gts_list[-1].ign
+            d["visibility"][gi] = vis
+            d["bbox_full"][gi] = [x, y, w, h]
+        d["cls"] = np.array(d["cls"])
+        imobjs.append(EasyDict(gts=gts_list, scale=1.0, imH=im_h,
+                               imW=im_w))
+        r = Rec()
+        r.gts = d
+        r.scale = 1.0
+        r.im_h, r.im_w = im_h, im_w
+        recs.append(r)
+
+    for ratio in (1.0, 0.7, 2, -1):
+        conf = EasyDict(fg_image_ratio=ratio, lbls=lbls, ilbls=["Van"],
+                        min_gt_vis=0.5, min_gt_h=im_h * 0.03,
+                        max_gt_h=im_h * 0.6, test_scale=test_scale)
+        r_w = ref.imdb_util.balance_samples(conf, imobjs)
+        o_w = balance_samples(recs, lbls, ["Van"], 0.5, im_h * 0.03,
+                              fg_image_ratio=ratio, max_gt_h=im_h * 0.6,
+                              test_scale=test_scale)
+        np.testing.assert_allclose(o_w, r_w, rtol=1e-12, atol=1e-15,
+                                   err_msg=f"ratio={ratio}")
