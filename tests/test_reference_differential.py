@@ -23,9 +23,13 @@ Covered operator families (>=100 random cases each):
   * CustomLoss (hand-gradient MSE) ............. lib/loss/custom_loss.py
   * generate_anchors (priors + assignment) . lib/rpn_util.py:24-216
   * compute_bbox_stats (asymmetric passes) . lib/rpn_util.py:547-736
+  * cluster_anchors (IoU k-means + quirks) . lib/rpn_util.py:238-408
+  * balance_samples (all 4 ratio modes) .... lib/imdb_util.py:887-937
+  * test_projection / hill_climb ........... lib/rpn_util.py:2254-2349
 
 Companion modules: tests/test_loss_differential.py (full RPN_3D_loss),
-tests/test_kalman_differential.py (tracker), and
+tests/test_kalman_differential.py (tracker + measurement decode),
+tests/test_augment_differential.py (augmentation stack), and
 tests/test_decode_tail_differential.py (im_detect_3d + KITTI writer).
 Skipped wholesale when torch or the reference checkout is absent.
 """
@@ -967,3 +971,113 @@ def test_balance_samples_matches_reference(ref):
                               test_scale=test_scale)
         np.testing.assert_allclose(o_w, r_w, rtol=1e-12, atol=1e-15,
                                    err_msg=f"ratio={ratio}")
+
+
+def test_test_projection_matches_reference(ref):
+    """projection_consistency vs the reference's test_projection
+    (lib/rpn_util.py:2314-2349): backprojection of the projected center,
+    cuboid corner projection, the min/max reprojected box, the behind-
+    camera invalid flag, and the +1-width IoU against the 2D box."""
+    from groomed_nms_tpu.ops.refine import projection_consistency
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    n_checked = 0
+    for case in range(60):
+        p2 = np.eye(4)
+        p2[0, 0] = p2[1, 1] = rng.uniform(600, 750)
+        p2[0, 2], p2[1, 2] = rng.uniform(580, 640), rng.uniform(170, 200)
+        p2[0, 3] = rng.uniform(-50, 50)
+        p2[2, 3] = rng.uniform(-0.01, 0.01)
+        p2_inv = np.linalg.inv(p2)
+
+        z3d = rng.uniform(-2, 40)       # some behind-camera -> invalid
+        x3d, y3d = rng.uniform(-15, 15), rng.uniform(0.5, 2.5)
+        w3d, h3d, l3d = rng.uniform(0.5, 4.0, 3)
+        ry3d = rng.uniform(-np.pi, np.pi)
+        proj = p2 @ np.array([x3d, y3d, z3d, 1.0])
+        cx, cy, z = proj[0] / proj[2], proj[1] / proj[2], proj[2]
+        box_2d = np.array([cx + rng.normal(0, 8), cy + rng.normal(0, 8),
+                           rng.uniform(30, 150), rng.uniform(30, 100)])
+
+        r_ol, _, _, r_inv = ref.rpn.test_projection(
+            p2, p2_inv, box_2d, cx, cy, z, w3d, h3d, l3d, ry3d)
+
+        o_ol, o_inv = projection_consistency(
+            jnp.asarray(p2), jnp.asarray(p2_inv),
+            jnp.asarray(box_2d[None]), jnp.asarray([cx]), jnp.asarray([cy]),
+            jnp.asarray([z]), jnp.asarray([w3d]), jnp.asarray([h3d]),
+            jnp.asarray([l3d]), jnp.asarray([ry3d]))
+
+        assert bool(o_inv[0]) == bool(r_inv), f"case={case}"
+        if not r_inv:
+            np.testing.assert_allclose(float(o_ol[0]), float(r_ol),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"case={case}")
+            n_checked += 1
+    assert n_checked >= 30
+
+
+def test_hill_climb_matches_reference(ref):
+    """Batched hill_climb vs the reference's sequential climb
+    (lib/rpn_util.py:2254-2311).  The climb is a chain of greedy discrete
+    decisions, so f32-vs-f64 rounding can pick a different local optimum;
+    each lane must either land on the reference's (z, ry) or on one at
+    least as 2D-consistent."""
+    from groomed_nms_tpu.ops.refine import hill_climb, projection_consistency
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(33)
+    n = 24
+    p2 = np.eye(4)
+    p2[0, 0] = p2[1, 1] = 700.0
+    p2[0, 2], p2[1, 2] = 610.0, 180.0
+    p2_inv = np.linalg.inv(p2)
+
+    boxes, cxs, cys, zs, dims, rys = [], [], [], [], [], []
+    for _ in range(n):
+        z3d = rng.uniform(8, 40)
+        x3d, y3d = rng.uniform(-12, 12), rng.uniform(0.5, 2.5)
+        w3d, h3d, l3d = rng.uniform(0.8, 4.0, 3)
+        ry = rng.uniform(-np.pi, np.pi)
+        proj = p2 @ np.array([x3d, y3d, z3d, 1.0])
+        cx, cy, z = proj[0] / proj[2], proj[1] / proj[2], proj[2]
+        boxes.append([cx + rng.normal(0, 10), cy + rng.normal(0, 6),
+                      rng.uniform(40, 160), rng.uniform(30, 110)])
+        cxs.append(cx); cys.append(cy)
+        zs.append(z * rng.uniform(0.7, 1.3))       # perturbed start
+        dims.append([w3d, h3d, l3d])
+        rys.append(ry + rng.normal(0, 0.4))
+
+    boxes = np.asarray(boxes); dims = np.asarray(dims)
+    step_z, step_r, z_lim, r_lim = 2.0, 0.3, 0.05, 0.02
+
+    r_z, r_r, r_ol = [], [], []
+    for i in range(n):
+        z_i, ry_i, _ = ref.rpn.hill_climb(
+            p2, p2_inv, boxes[i], cxs[i], cys[i], zs[i],
+            dims[i, 0], dims[i, 1], dims[i, 2], rys[i],
+            step_z_init=step_z, step_r_init=step_r,
+            z_lim=z_lim, r_lim=r_lim)
+        ol_i, _, _, _ = ref.rpn.test_projection(
+            p2, p2_inv, boxes[i], cxs[i], cys[i], z_i,
+            dims[i, 0], dims[i, 1], dims[i, 2], ry_i)
+        r_z.append(z_i); r_r.append(ry_i); r_ol.append(ol_i)
+
+    o_z, o_r, o_ol = hill_climb(
+        jnp.asarray(p2), jnp.asarray(p2_inv), jnp.asarray(boxes),
+        jnp.asarray(cxs), jnp.asarray(cys), jnp.asarray(zs),
+        jnp.asarray(dims[:, 0]), jnp.asarray(dims[:, 1]),
+        jnp.asarray(dims[:, 2]), jnp.asarray(rys),
+        step_z_init=step_z, step_r_init=step_r, z_lim=z_lim, r_lim=r_lim,
+        max_steps=64)
+    o_z, o_r, o_ol = np.asarray(o_z), np.asarray(o_r), np.asarray(o_ol)
+
+    same = (np.abs(o_z - np.asarray(r_z)) < 0.1) & \
+           (np.abs(np.unwrap([o_r, np.asarray(r_r)], axis=0)[1] - o_r)
+            < 0.05)
+    as_good = o_ol >= np.asarray(r_ol) - 5e-3
+    assert np.all(same | as_good), \
+        np.array([same, as_good, o_ol, np.asarray(r_ol)])
+    # the majority of lanes land on the reference optimum exactly
+    assert same.mean() >= 0.6, same.mean()
