@@ -30,10 +30,11 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     # steady-state rate: per-call dispatch latency through the remote TPU
-    # tunnel only amortizes fully with a deep async queue (measured 69.5 ms
-    # at 1 iter -> 32.2 ms/call at 40, device-busy floor 31.1 ms;
-    # docs/BENCHMARKS.md r3)
-    iters = int(os.environ.get("BENCH_ITERS", "40"))
+    # tunnel only amortizes with a deep async queue (measured 69.5 ms at
+    # 1 iter -> 32.2 ms/call at 40 -> 31.4 at 160, device-busy floor
+    # 31.1 ms; the queue-ramp bias shrinks with the window, so measure a
+    # long window; docs/BENCHMARKS.md r3)
+    iters = int(os.environ.get("BENCH_ITERS", "160"))
 
     fn, (images, params, batch_stats) = _flagship(batch=batch)
     jfn = jax.jit(fn)

@@ -147,6 +147,10 @@ class ExperimentConfig:
     clip_boxes: bool = False
     use_differentiable_nms_at_test: bool = False
     test_batch_size: int = 8
+    # one compiled program for ALL val image sizes (per-image dynamic-scale
+    # resample) instead of one compile per distinct size -- see
+    # eval/tester.py + data/augment.py::preprocess_images_dynamic
+    eval_single_program: bool = False
 
     # anchors (groumd_nms.py:145-158)
     anchor_scales_count: int = 12

@@ -100,6 +100,84 @@ def preprocess_images_train(images, mirror, means, stds, key, *,
     return _resize_normalize(x, means, stds, target_h, crop_w)
 
 
+def _resample_weights(m_buf, n_out, m_true, n_true):
+    """[m_buf, n_out] linear-resample weight matrix for an image occupying
+    the first ``m_true`` (traced) samples of an ``m_buf`` buffer, resized to
+    ``n_true`` of ``n_out`` output samples (the rest zeroed).
+
+    Reproduces ``jax.image.resize``'s antialiased triangle kernel exactly
+    (weights over in-range taps only, renormalised, out-of-range output
+    samples zeroed) with the true extent as a traced value -- so ONE
+    compiled program matches the static per-size resize for every size.
+    """
+    inv_scale = m_true / n_true
+    kernel_scale = jnp.maximum(inv_scale, 1.0)  # low-pass when downsampling
+    sample_f = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * inv_scale - 0.5
+    j = jnp.arange(m_buf, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(sample_f[None, :] - j[:, None])
+                    / kernel_scale)
+    w = w * (j < m_true)[:, None]  # buffer padding contributes nothing
+    tot = w.sum(0, keepdims=True)
+    w = jnp.where(jnp.abs(tot) > 1000.0 * jnp.finfo(jnp.float32).eps,
+                  w / jnp.where(tot != 0.0, tot, 1.0), 0.0)
+    valid = ((sample_f >= -0.5) & (sample_f <= m_true - 0.5)
+             & (jnp.arange(n_out) < n_true))
+    return w * valid[None, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("target_h", "crop_w", "out_dtype"))
+def preprocess_images_dynamic(images, src_hw, means, stds, *, target_h,
+                              crop_w, out_dtype=None):
+    """Mixed-size preprocess: ONE program for every source image size.
+
+    ``images`` [B, H0max, W0max, 3] uint8 buffers, each holding a padded
+    image whose true size is ``src_hw[b] = (h, w)``; padding content is
+    ignored (the resample weights are masked to the true extent).  Each
+    image is resampled by its own ``target_h / h`` factor via explicit
+    :func:`_resample_weights` matrices -- the true size is a traced ARRAY,
+    so one compiled program covers every KITTI val size (the per-size
+    grouping in eval/tester.py otherwise pays one multi-minute remote
+    compile per distinct size).  The resample lowers to two dense matmuls
+    per image on the MXU, exactly like ``jax.image.resize``.
+
+    Matches :func:`preprocess_images` to float tolerance, including the
+    reference Resize semantics of resampling the width to
+    ``round(w * scale)`` columns then zero-padding/cropping to ``crop_w``
+    (lib/augmentations.py:86-105).
+    """
+    x = images.astype(jnp.float32)
+    hw = src_hw.astype(jnp.float32)
+
+    def one(img, hw_i):
+        h, w = hw_i[0], hw_i[1]
+        new_w = jnp.round(w * (target_h / h))
+        wh = _resample_weights(img.shape[0], target_h, h, target_h)
+        ww = _resample_weights(img.shape[1], crop_w, w, new_w)
+        return jnp.einsum("hwc,hi,wj->ijc", img, wh, ww,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    x = jax.vmap(one)(x, hw)
+    x = x / 255.0
+    x = (x - jnp.asarray(means)) / jnp.asarray(stds)
+    return x.astype(out_dtype) if out_dtype is not None else x
+
+
+def pad_image_edge(img, h0, w0):
+    """Place ``img`` into an [h0, w0, 3] buffer, edge-replicating into the
+    padding.  :func:`preprocess_images_dynamic` masks its resample weights
+    to the true extent so the padding content is ignored; replication (vs
+    zeros) just keeps the buffers safe for any unmasked consumer."""
+    h, w = img.shape[:2]
+    out = np.empty((h0, w0, 3), img.dtype)
+    out[:h, :w] = img
+    if h < h0:
+        out[h:, :w] = img[-1:]
+    if w < w0:
+        out[:, w:] = out[:, w - 1:w]
+    return out
+
+
 def photometric_distort(key, images, brightness=0.2, contrast=0.2,
                         saturation=0.2):
     """Per-image brightness/contrast/saturation jitter on device.

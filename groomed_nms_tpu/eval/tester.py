@@ -23,27 +23,37 @@ from collections import defaultdict
 import numpy as np
 
 
-def _make_infer(model, dcfg, target_h, crop_w, bf16_input=False):
+def _make_infer(model, dcfg, target_h, crop_w, bf16_input=False,
+                dynamic=False):
     """Jitted preprocess+forward+detect, cached per (model, cfg, size).
 
     ``model`` (a frozen flax dataclass) and the detect config are hashable,
     so repeated ``test_kitti_3d`` calls -- e.g. snapshot-time eval at every
     ``snapshot_iter`` -- reuse the compiled graph instead of paying the
     multi-minute remote recompile per call (CLAUDE.md: one jitted graph per
-    benchmark)."""
+    benchmark).
+
+    ``dynamic=True`` takes edge-padded buffers + per-image true sizes and
+    resamples each by its own scale (one program for every val size)."""
     import jax
     import jax.numpy as jnp
 
-    from ..data.augment import preprocess_images
+    from ..data.augment import preprocess_images, preprocess_images_dynamic
     from ..inference import im_detect_3d, rpn_outputs_dict
 
     @jax.jit
-    def infer(variables, images_u8, means_img, stds_img, rois, rois_3d,
-              p2, p2_inv, scale, bbox_means, bbox_stds):
-        images = preprocess_images(
-            images_u8, jnp.zeros((images_u8.shape[0],), bool), means_img,
-            stds_img, target_h=target_h, crop_w=crop_w,
-            out_dtype=jnp.bfloat16 if bf16_input else None)
+    def infer(variables, images_u8, src_hw, means_img, stds_img, rois,
+              rois_3d, p2, p2_inv, scale, bbox_means, bbox_stds):
+        out_dtype = jnp.bfloat16 if bf16_input else None
+        if dynamic:
+            images = preprocess_images_dynamic(
+                images_u8, src_hw, means_img, stds_img, target_h=target_h,
+                crop_w=crop_w, out_dtype=out_dtype)
+        else:
+            images = preprocess_images(
+                images_u8, jnp.zeros((images_u8.shape[0],), bool),
+                means_img, stds_img, target_h=target_h, crop_w=crop_w,
+                out_dtype=out_dtype)
         out = model.apply(variables, images, train=False)
         return im_detect_3d(rpn_outputs_dict(out), rois, rois_3d, p2,
                             p2_inv, scale, bbox_means, bbox_stds, dcfg)
@@ -52,8 +62,9 @@ def _make_infer(model, dcfg, target_h, crop_w, bf16_input=False):
 
 
 @functools.lru_cache(maxsize=4)
-def _cached_infer(model, dcfg, target_h, crop_w, bf16_input=False):
-    return _make_infer(model, dcfg, target_h, crop_w, bf16_input)
+def _cached_infer(model, dcfg, target_h, crop_w, bf16_input=False,
+                  dynamic=False):
+    return _make_infer(model, dcfg, target_h, crop_w, bf16_input, dynamic)
 
 
 def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
@@ -97,45 +108,60 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
 
     # bf16 trunks take their (pre-retile) input in bf16: halves the HBM
     # traffic of the 3-channel-minor layout copy (docs/BENCHMARKS.md r3)
+    single = bool(getattr(cfg, "eval_single_program", False))
     _infer = _cached_infer(model, dcfg, cfg.crop_size[0], cfg.crop_size[1],
-                           bf16_input=cfg.compute_dtype == "bfloat16")
+                           bf16_input=cfg.compute_dtype == "bfloat16",
+                           dynamic=single)
 
-    def infer(images_u8, p2, p2_inv, scale):
-        return _infer(variables, images_u8, means_img, stds_img, rois_j,
-                      rois_3d_j, p2, p2_inv, scale, bbox_means_j,
+    def infer(images_u8, src_hw, p2, p2_inv, scale):
+        return _infer(variables, images_u8, src_hw, means_img, stds_img,
+                      rois_j, rois_3d_j, p2, p2_inv, scale, bbox_means_j,
                       bbox_stds_j)
 
-    # group same-sized images into device batches (one compile per size);
+    # group same-sized images into device batches (one compile per size) --
+    # or, with eval_single_program, ONE max-size group whose per-image
+    # dynamic-scale resample covers every size in a single program;
     # decode images in a thread pool so host IO hides behind device compute
     from concurrent.futures import ThreadPoolExecutor
 
     from PIL import Image
+
+    from ..data.augment import pad_image_edge
     by_size = defaultdict(list)
-    for rec in imdb:
-        by_size[(rec.im_h, rec.im_w)].append(rec)
+    if single and imdb:
+        h0max = max(r.im_h for r in imdb)
+        w0max = max(r.im_w for r in imdb)
+        by_size[(h0max, w0max)] = list(imdb)
+    else:
+        for rec in imdb:
+            by_size[(rec.im_h, rec.im_w)].append(rec)
 
     def load_chunk(chunk, h0, w0):
         imgs = np.zeros((batch_size, h0, w0, 3), np.uint8)
+        hw = np.tile(np.array([[h0, w0]], np.float32), (batch_size, 1))
         p2 = np.tile(np.eye(4, dtype=np.float32)[None], (batch_size, 1, 1))
 
         def read(bi_rec):
             bi, rec = bi_rec
             with Image.open(rec.image_path) as im:
-                imgs[bi] = np.asarray(im.convert("RGB"), np.uint8)
+                arr = np.asarray(im.convert("RGB"), np.uint8)
+            imgs[bi] = arr if arr.shape[:2] == (h0, w0) \
+                else pad_image_edge(arr, h0, w0)
+            hw[bi] = arr.shape[:2]
             p2[bi] = rec.p2
 
         with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(read, enumerate(chunk)))
-        return imgs, p2
+        return imgs, hw, p2
 
     def chunk_iter():
         for (h0, w0), recs in by_size.items():
             for i in range(0, len(recs), batch_size):
                 chunk = recs[i:i + batch_size]
-                imgs, p2 = load_chunk(chunk, h0, w0)
-                scale = np.full((batch_size,), cfg.crop_size[0] / h0,
-                                np.float32)
-                yield chunk, (jnp.asarray(imgs), jnp.asarray(p2),
+                imgs, hw, p2 = load_chunk(chunk, h0, w0)
+                scale = (cfg.crop_size[0] / hw[:, 0]).astype(np.float32)
+                yield chunk, (jnp.asarray(imgs), jnp.asarray(hw),
+                              jnp.asarray(p2),
                               jnp.asarray(np.linalg.inv(p2)),
                               jnp.asarray(scale))
 
@@ -148,11 +174,11 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
     t0 = time.time()
     n_done = 0
     n_rendered = 0
-    for chunk, (imgs_d, p2_d, p2i_d, scale_d) in device_prefetch(
+    for chunk, (imgs_d, hw_d, p2_d, p2i_d, scale_d) in device_prefetch(
             chunk_iter(),
             transform=lambda x: (x[0], tuple(put(t) for t in x[1]))):
         n = len(chunk)
-        dets, valid = infer(imgs_d, p2_d, p2i_d, scale_d)
+        dets, valid = infer(imgs_d, hw_d, p2_d, p2i_d, scale_d)
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         for bi, rec in enumerate(chunk):

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--num-shards", type=int, default=1)
     ap.add_argument("--shard-index", type=int, default=0)
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--single-program", action="store_true",
+                    help="one compiled program for all val image sizes "
+                         "(per-image dynamic-scale resample) instead of one "
+                         "compile per distinct size")
     ap.add_argument("--render", type=int, default=0,
                     help="save qualitative image+BEV figures for N images")
     args = ap.parse_args()
@@ -56,6 +60,9 @@ def main():
                                           restore_checkpoint)
 
     cfg = load_config(args.config)
+    if args.single_program:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, eval_single_program=True)
     batch_size = args.batch or cfg.test_batch_size
     out_dir = os.path.join(args.output, cfg.name)
     results_dir = os.path.join(out_dir, "results",
