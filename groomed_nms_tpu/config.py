@@ -105,6 +105,9 @@ class ExperimentConfig:
     # clip length for video-model training (reference kitti_3d_full.py:35
     # video_count=2: previous frame + current)
     video_count: int = 1
+    # ego-pose loss weights (reference kitti_3d_full.py:150-151)
+    pose_lambda_t: float = 1.0
+    pose_lambda_r: float = 40.0
 
     # rng
     rng_seed: int = 5

@@ -11,8 +11,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def pose_loss(pose_pred, pose_tar, pose_means, pose_stds, pose_lambda=1.0):
-    """L1 on denormalised poses.
+def pose_loss(pose_pred, pose_tar, pose_means, pose_stds,
+              pose_lambda_t=1.0, pose_lambda_r=1.0):
+    """L1 on denormalised poses, translation/rotation weighted separately.
+
+    Matches the reference's Pose_loss.forward exactly
+    (lib/loss/pose.py:71-78): ``loss = mean|t_err| * pose_lambda_t +
+    mean|r_err| * pose_lambda_r`` over the denormalised 6-DoF vectors
+    (reference defaults pose_lambda_t=1, pose_lambda_r=40 --
+    scripts/config/kitti_3d_full.py:150-151).
 
     Args:
       pose_pred / pose_tar: [B, 6] normalised (tx, ty, tz, rx, ry, rz).
@@ -25,10 +32,12 @@ def pose_loss(pose_pred, pose_tar, pose_means, pose_stds, pose_lambda=1.0):
     pred_dn = pose_pred * stds + means
     tar_dn = pose_tar * stds + means
     err = jnp.abs(pred_dn - tar_dn)
-    loss = err.mean() * pose_lambda
+    t_err = err[:, :3].mean()
+    r_err = err[:, 3:].mean()
+    loss = t_err * pose_lambda_t + r_err * pose_lambda_r
     stats = {
         "pose": loss,
-        "t_err": err[:, :3].mean(),
-        "r_err": err[:, 3:].mean(),
+        "t_err": t_err,
+        "r_err": r_err,
     }
     return loss, stats

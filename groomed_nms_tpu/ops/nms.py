@@ -129,17 +129,26 @@ def soft_nms(boxes, scores, valid_mask=None, *, nms_threshold=0.4, sigma=0.5,
 
     ``method``: 'linear' (w = 1 - iou when iou > t), 'gaussian'
     (w = exp(-iou^2 / sigma)), or 'hard' (w = 0 when iou > t; classical NMS
-    by decay).  Returns (new_scores [N], keep [N]) in input order; keep is
-    ``new_scores >= score_threshold``.  Mirrors lib/nms_others.py:5-118.
+    by decay).  Returns (new_scores [N], keep [N]) in input order.
+
+    Reference-exact vs lib/nms_others.py:6-116 (navneeth_soft_nms): each
+    round selects the highest-scoring remaining box as a detection and
+    decays the others; a box is REMOVED (dropped from all later rounds and
+    from ``keep``) only when a positive-overlap decay step leaves its score
+    below ``score_threshold`` -- selected detections stay kept even if an
+    earlier round decayed them, and zero-overlap boxes are never removed
+    regardless of score (the reference's removal check lives inside the
+    ``iw > 0 and ih > 0`` branch).
     """
     n = scores.shape[0]
     if valid_mask is None:
         valid_mask = jnp.ones((n,), bool)
     iou_mat = pairwise_iou(boxes, boxes, shift=shift)
+    idx = jnp.arange(n)
 
     def body(_, state):
-        cur_scores, processed = state
-        cand = jnp.where(processed | ~valid_mask, -jnp.inf, cur_scores)
+        cur_scores, processed, active = state
+        cand = jnp.where(processed | ~active, -jnp.inf, cur_scores)
         top = jnp.argmax(cand)
         has_cand = jnp.isfinite(cand[top])
         ov = iou_mat[top]
@@ -149,13 +158,19 @@ def soft_nms(boxes, scores, valid_mask=None, *, nms_threshold=0.4, sigma=0.5,
             w = jnp.exp(-jnp.square(ov) / sigma)
         else:  # hard
             w = jnp.where(ov > nms_threshold, 0.0, 1.0)
-        decay = jnp.where(processed | (jnp.arange(n) == top) | ~has_cand, 1.0, w)
-        return cur_scores * decay, processed | ((jnp.arange(n) == top) & has_cand)
+        others = active & ~processed & (idx != top) & has_cand
+        # pairwise_iou clamps at 0, so ov > 0 iff the reference's
+        # iw > 0 and ih > 0 branch runs (shifted intersection positive)
+        touched = others & (ov > 0)
+        new_scores = jnp.where(touched, cur_scores * w, cur_scores)
+        removed = touched & (new_scores < score_threshold)
+        return (new_scores, processed | ((idx == top) & has_cand),
+                active & ~removed)
 
     scores0 = jnp.where(valid_mask, scores, 0.0)
-    new_scores, _ = jax.lax.fori_loop(0, n, body, (scores0, jnp.zeros((n,), bool)))
-    keep = valid_mask & (new_scores >= score_threshold)
-    return new_scores, keep
+    new_scores, _, active = jax.lax.fori_loop(
+        0, n, body, (scores0, jnp.zeros((n,), bool), valid_mask))
+    return new_scores, active
 
 
 def greedy_nms_numpy(dets, nms_threshold, shift=1.0):

@@ -95,7 +95,9 @@ def main():
             out = model.apply({"params": p, "batch_stats": batch_stats},
                               images, train=False)
             pred = out.poses[:, 0]
-            l, stats = pose_loss(pred, pose_tar, pose_means, pose_stds)
+            l, stats = pose_loss(pred, pose_tar, pose_means, pose_stds,
+                                 pose_lambda_t=cfg.pose_lambda_t,
+                                 pose_lambda_r=cfg.pose_lambda_r)
             return l, stats
 
         (l, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -176,5 +176,7 @@ def test_pose_loss():
     pred = jnp.asarray([[0.1, 0.0, 0.0, 0.0, 0.0, 0.0]])
     tar = jnp.zeros((1, 6))
     loss, stats = pose_loss(pred, tar, np.zeros(6), np.ones(6) * 2.0)
-    np.testing.assert_allclose(float(loss), 0.2 / 6, atol=1e-6)
+    # 0.1 normalised error in tx -> 0.2 denormalised; t mean over 3 dims,
+    # r term zero (reference Pose_loss semantics, lambdas default to 1)
+    np.testing.assert_allclose(float(loss), 0.2 / 3, atol=1e-6)
     assert "t_err" in stats and "r_err" in stats
