@@ -1,0 +1,100 @@
+"""AOT model export: serialize the full serving program to one artifact.
+
+Beyond-parity serving feature (the reference deploys by shipping the python
+tree + a torch pickle; lib/core.py:925-958 only covers checkpoint reload).
+Here the ENTIRE serving pipeline -- uint8 decode-side preprocess, bf16
+DenseNet trunk, anchor decode, NMS, top-k -- is staged out with
+``jax.export`` into a single serialized StableHLO artifact with the weights,
+anchors, and statistics baked in as constants.  The artifact is loadable
+without the model code (only jax + the target runtime) and is
+version-checked by StableHLO's compatibility guarantees.
+
+Typical use::
+
+    serve = build_serving_fn(model, variables, rois, rois_3d, bbox_means,
+                             bbox_stds, image_means, image_stds, dcfg,
+                             target_h=512, crop_w=1760, bf16_input=True)
+    blob = export_serving(serve, batch=8, src_h=375, src_w=1242)
+    open("model.ghlo", "wb").write(blob)
+    # ... later, anywhere:
+    loaded = load_serving(open("model.ghlo", "rb").read())
+    dets, valid = loaded(images_u8, p2, p2_inv, scale)
+
+Note on cross-platform export: the batched greedy-NMS Pallas kernel lowers
+to a Mosaic TPU custom call when traced on a TPU backend and to its
+pure-XLA interpret form otherwise (inference.py:320-327), so export from
+the platform you intend to serve on (or pass ``platforms`` explicitly and
+accept the interpret-mode NMS in the artifact when exporting off-TPU).
+"""
+
+from __future__ import annotations
+
+
+def build_serving_fn(model, variables, rois, rois_3d, bbox_means, bbox_stds,
+                     image_means, image_stds, dcfg, *, target_h, crop_w,
+                     bf16_input=True):
+    """Close the full uint8-in/detections-out pipeline over its constants.
+
+    Returns ``serve(images_u8, p2, p2_inv, scale) -> (dets, valid)`` where
+    ``images_u8`` is [B, H0, W0, 3] uint8, ``p2``/``p2_inv`` are [B, 4, 4],
+    ``scale`` is [B] (src-to-network resize factor), ``dets`` is
+    [B, topN_post, 17] and ``valid`` [B, topN_post] bool.  Weights, anchors
+    and statistics become constants of the staged program.
+    """
+    import jax.numpy as jnp
+
+    from .data.augment import preprocess_images
+    from .inference import im_detect_3d, rpn_outputs_dict
+
+    rois = jnp.asarray(rois)
+    rois_3d = jnp.asarray(rois_3d)
+    bbox_means = jnp.asarray(bbox_means)
+    bbox_stds = jnp.asarray(bbox_stds)
+    image_means = jnp.asarray(image_means)
+    image_stds = jnp.asarray(image_stds)
+
+    def serve(images_u8, p2, p2_inv, scale):
+        images = preprocess_images(
+            images_u8, jnp.zeros((images_u8.shape[0],), bool), image_means,
+            image_stds, target_h=target_h, crop_w=crop_w,
+            out_dtype=jnp.bfloat16 if bf16_input else None)
+        out = model.apply(variables, images, train=False)
+        return im_detect_3d(rpn_outputs_dict(out), rois, rois_3d, p2,
+                            p2_inv, scale, bbox_means, bbox_stds, dcfg)
+
+    return serve
+
+
+def export_serving(serve_fn, *, batch, src_h, src_w, platforms=None):
+    """Stage ``serve_fn`` out and serialize it; returns the artifact bytes.
+
+    ``platforms``: optional list like ["tpu"] / ["tpu", "cpu"]; default is
+    the current default backend only.
+    """
+    import jax
+    from jax import export as jax_export
+    import jax.numpy as jnp
+
+    args = (
+        jax.ShapeDtypeStruct((batch, src_h, src_w, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((batch, 4, 4), jnp.float32),
+        jax.ShapeDtypeStruct((batch, 4, 4), jnp.float32),
+        jax.ShapeDtypeStruct((batch,), jnp.float32),
+    )
+    exp = jax_export.export(
+        jax.jit(serve_fn),
+        platforms=list(platforms) if platforms else None)(*args)
+    return exp.serialize()
+
+
+def load_serving(blob):
+    """Deserialize an artifact; returns a callable (jit-compatible)."""
+    from jax import export as jax_export
+
+    exp = jax_export.deserialize(blob)
+
+    def call(images_u8, p2, p2_inv, scale):
+        return exp.call(images_u8, p2, p2_inv, scale)
+
+    call.exported = exp
+    return call

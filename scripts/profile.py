@@ -72,7 +72,7 @@ def main():
                                        jnp.asarray(rois_3d),
                                        np.zeros(13, np.float32),
                                        np.ones(13, np.float32)))
-        b, g, ign = 2, cfg.max_gts, cfg.max_igns
+        b, g, ign = args.batch, cfg.max_gts, cfg.max_igns
         batch = jax.device_put({
             "images": rs.normal(size=(b, 512, 1760, 3)).astype(np.float32),
             "gts_2d": np.zeros((b, g, 4), np.float32),
