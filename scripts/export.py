@@ -92,6 +92,7 @@ def main():
         "config": cfg.name, "iter": int(state.step), "batch": args.batch,
         "src_hw": [args.src_h, args.src_w],
         "crop_size": list(cfg.crop_size),
+        "class_names": list(cfg.lbls), "score_thres": cfg.score_thres,
         "platforms": platforms or [jax.default_backend()],
         "inputs": "images_u8 [B,H0,W0,3] u8; p2 [B,4,4] f32; "
                   "p2_inv [B,4,4] f32; scale [B] f32",

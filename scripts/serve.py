@@ -1,0 +1,112 @@
+"""Serve a deployed AOT artifact over a directory of images -- NO model code.
+
+Usage:
+  python scripts/serve.py --artifact model.ghlo --images <dir> \
+      [--calib <dir>] [--out results/data] [--score-thres T]
+
+Loads the serialized StableHLO artifact written by scripts/export.py (plus
+its sibling meta json), batches the images, runs the artifact, and writes
+KITTI-format txt detections.  The only imports from this package are the
+artifact loader and the txt writer -- the model/config/anchor code paths
+are not touched, demonstrating that the artifact is a self-contained
+deployment unit (weights, anchors, statistics and the full preprocess ->
+trunk -> decode -> NMS program are baked in).
+"""
+
+import argparse
+import glob
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
+def _default_p2(src_h, src_w):
+    import numpy as np
+    p2 = np.eye(4, dtype=np.float32)
+    p2[0, 0] = p2[1, 1] = 707.0493
+    p2[0, 2], p2[1, 2] = src_w / 2.0, src_h / 2.0
+    return p2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", required=True)
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--calib", default=None,
+                    help="dir of KITTI calib txts named like the images")
+    ap.add_argument("--out", default="serve_out")
+    ap.add_argument("--score-thres", type=float, default=None)
+    args = ap.parse_args()
+
+    from groomed_nms_tpu.platform import ensure_requested_platform
+    ensure_requested_platform()
+
+    import numpy as np
+    from PIL import Image
+
+    from groomed_nms_tpu.data.augment import pad_image_edge
+    from groomed_nms_tpu.data.kitti import read_kitti_calib
+    from groomed_nms_tpu.export import load_serving
+    from groomed_nms_tpu.inference import write_kitti_detections
+
+    logging.basicConfig(
+        force=True, level=logging.INFO, format="%(asctime)s %(message)s")
+    log = logging.getLogger(__name__)
+
+    with open(args.artifact + ".json") as f:
+        meta = json.load(f)
+    batch = meta["batch"]
+    src_h, src_w = meta["src_hw"]
+    crop_h = meta["crop_size"][0]
+    class_names = meta.get("class_names", ["Car", "Pedestrian", "Cyclist"])
+    score_thres = (args.score_thres if args.score_thres is not None
+                   else meta.get("score_thres", 0.6))
+    loaded = load_serving(open(args.artifact, "rb").read())
+    log.info("artifact %s: batch=%d src=%dx%d classes=%s",
+             args.artifact, batch, src_h, src_w, class_names)
+
+    paths = sorted(p for ext in ("png", "jpg", "jpeg")
+                   for p in glob.glob(os.path.join(args.images, f"*.{ext}")))
+    if not paths:
+        raise FileNotFoundError(f"no images under {args.images}")
+    os.makedirs(args.out, exist_ok=True)
+
+    n_done = 0
+    for i in range(0, len(paths), batch):
+        chunk = paths[i:i + batch]
+        imgs = np.zeros((batch, src_h, src_w, 3), np.uint8)
+        p2 = np.tile(_default_p2(src_h, src_w)[None], (batch, 1, 1))
+        scale = np.full((batch,), float(crop_h) / src_h, np.float32)
+        for bi, path in enumerate(chunk):
+            with Image.open(path) as im:
+                arr = np.asarray(im.convert("RGB"), np.uint8)
+            # edge-pad/crop into the artifact's fixed input plane (the same
+            # convention eval/tester.py uses for stragglers); decode maps
+            # back through the image's own height scale
+            imgs[bi] = arr if arr.shape[:2] == (src_h, src_w) \
+                else pad_image_edge(arr, src_h, src_w)
+            scale[bi] = float(crop_h) / arr.shape[0]
+            if args.calib:
+                stem = os.path.splitext(os.path.basename(path))[0]
+                cal = os.path.join(args.calib, stem + ".txt")
+                if os.path.exists(cal):
+                    p2[bi] = read_kitti_calib(cal)
+        p2_inv = np.linalg.inv(p2)
+
+        dets, valid = loaded(imgs, p2, p2_inv, scale)
+        dets, valid = np.asarray(dets), np.asarray(valid)
+        for bi, path in enumerate(chunk):
+            stem = os.path.splitext(os.path.basename(path))[0]
+            write_kitti_detections(
+                os.path.join(args.out, stem + ".txt"), dets[bi], valid[bi],
+                class_names, score_thres=score_thres)
+            n_done += 1
+    log.info("wrote %d result files to %s", n_done, args.out)
+
+
+if __name__ == "__main__":
+    main()

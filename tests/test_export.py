@@ -88,6 +88,61 @@ def test_export_roundtrip_matches_live(tiny_pipeline, tmp_path):
                                atol=1e-5)
 
 
+def test_serve_script_runs_artifact_without_model_code(tiny_pipeline,
+                                                       tmp_path):
+    """scripts/serve.py: artifact + images -> KITTI txt, via subprocess."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    from groomed_nms_tpu.export import build_serving_fn, export_serving
+    from test_scripts_e2e import _subprocess_env
+
+    model, variables, rois, rois_3d, dcfg = tiny_pipeline
+    serve = build_serving_fn(
+        model, variables, rois, rois_3d, np.zeros(13, np.float32),
+        np.ones(13, np.float32), np.array([0.485, 0.456, 0.406]),
+        np.array([0.229, 0.224, 0.225]), dcfg, target_h=64, crop_w=128,
+        bf16_input=False)
+    batch, src_h, src_w = 2, 48, 96
+    art = tmp_path / "model.ghlo"
+    art.write_bytes(export_serving(serve, batch=batch, src_h=src_h,
+                                   src_w=src_w))
+    (tmp_path / "model.ghlo.json").write_text(json.dumps({
+        "batch": batch, "src_hw": [src_h, src_w], "crop_size": [64, 128],
+        "class_names": ["Car", "Pedestrian", "Cyclist"],
+        "score_thres": 0.0}))
+
+    img_dir = tmp_path / "images"
+    cal_dir = tmp_path / "calib"
+    img_dir.mkdir(), cal_dir.mkdir()
+    rs = np.random.default_rng(0)
+    for i in range(3):   # 3 images -> exercises a ragged final batch
+        Image.fromarray(rs.integers(0, 256, (src_h, src_w, 3),
+                                    dtype=np.uint8)).save(
+            img_dir / f"{i:06d}.png")
+        (cal_dir / f"{i:06d}.txt").write_text(
+            "P2: 300.0 0.0 48.0 0.0 0.0 300.0 24.0 0.0 0.0 0.0 1.0 0.0\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = tmp_path / "results"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "serve.py"),
+         "--artifact", str(art), "--images", str(img_dir),
+         "--calib", str(cal_dir), "--out", str(out_dir)],
+        env=_subprocess_env(1), capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    txts = sorted(os.listdir(out_dir))
+    assert txts == ["000000.txt", "000001.txt", "000002.txt"]
+    for t in txts:
+        for line in (out_dir / t).read_text().splitlines():
+            f = line.split()
+            assert len(f) == 16 and f[0] in ("Car", "Pedestrian", "Cyclist")
+
+
 def test_export_rejects_wrong_shape(tiny_pipeline):
     from groomed_nms_tpu.export import (build_serving_fn, export_serving,
                                         load_serving)
