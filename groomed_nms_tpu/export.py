@@ -65,6 +65,82 @@ def build_serving_fn(model, variables, rois, rois_3d, bbox_means, bbox_stds,
     return serve
 
 
+def build_video_serving_fn(model, variables, rois, rois_3d, bbox_means,
+                           bbox_stds, image_means, image_stds, vcfg,
+                           pose_means, pose_stds, *, target_h, crop_w,
+                           bf16_input=True):
+    """Serving closure for the video/kalman model: one clip in, tracks out.
+
+    Mirrors the reference's per-record video eval (scripts/test_kalman.py
+    here; /root/reference/scripts/test_kalman.py:1-222 runs the full clip
+    per frame too): ``serve(clip_u8, p2, p2_inv, scale) -> Tracks`` where
+    ``clip_u8`` is [F, H0, W0, 3] uint8 (frame 0 = earliest), ``p2`` /
+    ``p2_inv`` are [4, 4] and ``scale`` is a scalar.  The returned
+    fixed-slot ``Tracks`` NamedTuple (a pytree -- jax.export preserves the
+    structure) carries the fused state vectors, 2D boxes, uncertainties
+    and validity mask.
+    """
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from .data.augment import preprocess_images
+    from .models.kalman import Tracks
+    from .models.video import extract_measurements, video_track
+
+    try:
+        # the Tracks pytree crosses the serialization boundary by name
+        jax_export.register_namedtuple_serialization(
+            Tracks, serialized_name="groomed_nms_tpu.models.kalman.Tracks")
+    except ValueError:
+        pass  # already registered (idempotent across repeated builds)
+
+    rois = jnp.asarray(rois)
+    rois_3d = jnp.asarray(rois_3d)
+    bbox_means = jnp.asarray(bbox_means, jnp.float32)
+    bbox_stds = jnp.asarray(bbox_stds, jnp.float32)
+    image_means = jnp.asarray(image_means)
+    image_stds = jnp.asarray(image_stds)
+    pose_means = jnp.asarray(pose_means)
+    pose_stds = jnp.asarray(pose_stds)
+
+    def serve(clip_u8, p2, p2_inv, scale):
+        f = clip_u8.shape[0]
+        flat = preprocess_images(
+            clip_u8, jnp.zeros((f,), bool), image_means, image_stds,
+            target_h=target_h, crop_w=crop_w,
+            out_dtype=jnp.bfloat16 if bf16_input else None)
+        out = model.apply(variables, flat[None], train=False)
+        meas, valid = extract_measurements(
+            out.frame_outputs, rois, rois_3d, jnp.tile(p2[None], (f, 1, 1)),
+            jnp.tile(p2_inv[None], (f, 1, 1)), jnp.full((f,), scale),
+            bbox_means, bbox_stds, vcfg)
+        poses_dn = out.poses[0] * pose_stds + pose_means
+        poses_dn = jnp.concatenate([jnp.zeros((1, 6)), poses_dn], axis=0)
+        final, _ = video_track(meas, valid, poses_dn, p2, vcfg)
+        return final
+
+    return serve
+
+
+def export_video_serving(serve_fn, *, n_frames, src_h, src_w,
+                         platforms=None):
+    """Stage a video serving closure out and serialize it."""
+    import jax
+    from jax import export as jax_export
+    import jax.numpy as jnp
+
+    args = (
+        jax.ShapeDtypeStruct((n_frames, src_h, src_w, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((4, 4), jnp.float32),
+        jax.ShapeDtypeStruct((4, 4), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+    )
+    exp = jax_export.export(
+        jax.jit(serve_fn),
+        platforms=list(platforms) if platforms else None)(*args)
+    return exp.serialize()
+
+
 def export_serving(serve_fn, *, batch, src_h, src_w, platforms=None):
     """Stage ``serve_fn`` out and serialize it; returns the artifact bytes.
 

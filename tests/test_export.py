@@ -143,6 +143,66 @@ def test_serve_script_runs_artifact_without_model_code(tiny_pipeline,
             assert len(f) == 16 and f[0] in ("Car", "Pedestrian", "Cyclist")
 
 
+def test_video_export_roundtrip_matches_live(tmp_path):
+    """Clip-in/tracks-out video serving artifact reproduces the live jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from groomed_nms_tpu.anchors import locate_anchors
+    from groomed_nms_tpu.export import (build_video_serving_fn,
+                                        export_video_serving, load_serving)
+    from groomed_nms_tpu.models.densenet import tiny_densenet_config
+    from groomed_nms_tpu.models.rpn_3d import RPNConfig
+    from groomed_nms_tpu.models.video import VideoConfig, VideoRPN3D
+
+    rpn_cfg = RPNConfig(num_classes=4, num_anchors=4, prop_features=32,
+                        predict_uncertainty=True,
+                        backbone=tiny_densenet_config())
+    vcfg = VideoConfig(rpn=rpn_cfg, max_measurements=16, max_tracks=32,
+                       score_thres=0.1)
+    model = VideoRPN3D(vcfg)
+    f, th, tw = 3, 64, 128
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, f, th, tw, 3)), train=False)
+
+    rs = np.random.default_rng(0)
+    templates = np.abs(rs.normal(size=(4, 4))).astype(np.float32)
+    templates[:, 2:] += templates[:, :2] + 16.0
+    priors = np.concatenate(
+        [templates, np.abs(rs.normal(size=(4, 7))).astype(np.float32) + 1.0],
+        axis=1)
+    priors[:, 4] = 30.0
+    rois = np.asarray(locate_anchors(priors, (4, 8), 16))
+    rois_3d = priors[rois[:, 4].astype(np.int64), 4:]
+
+    serve = build_video_serving_fn(
+        model, variables, rois, rois_3d, np.zeros(13, np.float32),
+        np.ones(13, np.float32), np.array([0.485, 0.456, 0.406]),
+        np.array([0.229, 0.224, 0.225]), vcfg, np.zeros(6), np.ones(6),
+        target_h=th, crop_w=tw, bf16_input=False)
+
+    src_h, src_w = 48, 96
+    blob = export_video_serving(serve, n_frames=f, src_h=src_h, src_w=src_w)
+    path = tmp_path / "video.ghlo"
+    path.write_bytes(blob)
+
+    clip = rs.integers(0, 256, (f, src_h, src_w, 3), dtype=np.uint8)
+    p2 = np.eye(4, dtype=np.float32)
+    p2[0, 0] = p2[1, 1] = 700.0
+    p2[0, 2], p2[1, 2] = 60.0, 18.0
+    p2_inv = np.linalg.inv(p2)
+    scale = np.float32(th / src_h)
+    want = jax.block_until_ready(jax.jit(serve)(clip, p2, p2_inv, scale))
+    loaded = load_serving(path.read_bytes())
+    got = jax.block_until_ready(loaded(clip, p2, p2_inv, scale))
+    # Tracks NamedTuple round-trips as a pytree with identical leaves
+    assert type(got).__name__ == type(want).__name__
+    for name, g, w in zip(want._fields, got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5,
+                                   err_msg=name)
+    assert int(np.asarray(want.valid).sum()) > 0  # tracker produced tracks
+
+
 def test_export_rejects_wrong_shape(tiny_pipeline):
     from groomed_nms_tpu.export import (build_serving_fn, export_serving,
                                         load_serving)
