@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--platforms", default=None,
                     help="comma list, e.g. tpu,cpu (default: current backend)")
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--video", action="store_true",
+                    help="export the video/kalman model instead "
+                         "(clip-in/Tracks-out; --frames sets clip length)")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="video clip length (default cfg.video_count)")
     args = ap.parse_args()
 
     from groomed_nms_tpu.platform import ensure_requested_platform
@@ -47,7 +52,9 @@ def main():
     from groomed_nms_tpu.anchors import locate_anchors
     from groomed_nms_tpu.config import load_config
     from groomed_nms_tpu.data.pipeline import prepare_anchors
-    from groomed_nms_tpu.export import (build_serving_fn, export_serving,
+    from groomed_nms_tpu.export import (build_serving_fn,
+                                        build_video_serving_fn,
+                                        export_serving, export_video_serving,
                                         load_serving)
     from groomed_nms_tpu.models import RPN3D
     from groomed_nms_tpu.training import (build_lr_schedule, build_optimizer,
@@ -67,37 +74,100 @@ def main():
     rois = np.asarray(locate_anchors(anchors, feat_hw, cfg.feat_stride))
     rois_3d = anchors[rois[:, 4].astype(np.int64), 4:]
 
-    model = RPN3D(cfg.rpn_config(anchors.shape[0]))
     tx = build_optimizer(cfg.solver_type,
                          build_lr_schedule(cfg.lr, cfg.max_iter))
-    state = create_train_state(model, (1, 64, 64, 3), tx)
-    state = restore_checkpoint(out_dir, state, args.restore,
-                               restore_optimizer=False)
-    log.info("restored iter %d", int(state.step))
-
-    dcfg = cfg.detect_config()
-    serve = build_serving_fn(
-        model, {"params": state.params, "batch_stats": state.batch_stats},
-        rois, rois_3d, means, stds, np.asarray(cfg.image_means),
-        np.asarray(cfg.image_stds), dcfg, target_h=cfg.crop_size[0],
-        crop_w=cfg.crop_size[1], bf16_input=cfg.compute_dtype == "bfloat16")
-
     platforms = args.platforms.split(",") if args.platforms else None
-    blob = export_serving(serve, batch=args.batch, src_h=args.src_h,
-                          src_w=args.src_w, platforms=platforms)
-    out_path = args.out or os.path.join(out_dir, "model.ghlo")
+    bf16_input = cfg.compute_dtype == "bfloat16"
+
+    if args.video:
+        # mirror scripts/test_kalman.py's loading: a video-stage checkpoint
+        # restores the full VideoRPN3D; otherwise assemble trunk/heads from
+        # the single-frame checkpoint + the train_pose.py pose branch
+        from groomed_nms_tpu.models.video import VideoConfig, VideoRPN3D
+        from groomed_nms_tpu.training import latest_checkpoint
+        from groomed_nms_tpu.utils.torch_weights import \
+            assemble_video_variables
+
+        vcfg = VideoConfig(rpn=cfg.rpn_config(anchors.shape[0]),
+                           score_thres=cfg.score_thres,
+                           nms_thres=cfg.nms_thres,
+                           best_thresh=cfg.best_thresh)
+        model = VideoRPN3D(vcfg)
+        n_frames = args.frames or max(2, cfg.video_count)
+        ckpt = latest_checkpoint(out_dir)
+        if ckpt is not None and cfg.model == "kalman":
+            v_state = create_train_state(model, (1, n_frames, 64, 64, 3), tx)
+            v_state = restore_checkpoint(out_dir, v_state, args.restore,
+                                         restore_optimizer=False)
+            variables = {"params": v_state.params,
+                         "batch_stats": v_state.batch_stats}
+            step = int(v_state.step)
+        else:
+            sf_state = create_train_state(RPN3D(vcfg.rpn), (1, 64, 64, 3), tx)
+            if ckpt is not None:
+                sf_state = restore_checkpoint(out_dir, sf_state, args.restore,
+                                              restore_optimizer=False)
+            pose_npz = os.path.join(out_dir + "_pose", "pose_net_params.npz")
+            variables = assemble_video_variables(
+                model, sf_state,
+                pose_npz if os.path.exists(pose_npz) else None)
+            step = int(sf_state.step)
+        pose_stats = os.path.join(out_dir + "_pose", "pose_stats.npz")
+        if os.path.exists(pose_stats):
+            z = np.load(pose_stats)
+            pose_means, pose_stds = z["means"], z["stds"]
+        else:
+            pose_means, pose_stds = np.zeros(6), np.ones(6)
+        log.info("video model restored (iter %d, %d frames)", step, n_frames)
+
+        serve = build_video_serving_fn(
+            model, variables, rois, rois_3d, means, stds,
+            np.asarray(cfg.image_means), np.asarray(cfg.image_stds), vcfg,
+            pose_means, pose_stds, target_h=cfg.crop_size[0],
+            crop_w=cfg.crop_size[1], bf16_input=bf16_input)
+        blob = export_video_serving(serve, n_frames=n_frames,
+                                    src_h=args.src_h, src_w=args.src_w,
+                                    platforms=platforms)
+        out_path = args.out or os.path.join(out_dir, "video_model.ghlo")
+        meta_io = {
+            "inputs": "clip_u8 [F,H0,W0,3] u8; p2 [4,4] f32; "
+                      "p2_inv [4,4] f32; scale [] f32",
+            "outputs": "Tracks pytree (fixed-slot kalman state + validity)",
+            "frames": n_frames,
+        }
+    else:
+        model = RPN3D(cfg.rpn_config(anchors.shape[0]))
+        state = create_train_state(model, (1, 64, 64, 3), tx)
+        state = restore_checkpoint(out_dir, state, args.restore,
+                                   restore_optimizer=False)
+        step = int(state.step)
+        log.info("restored iter %d", step)
+
+        serve = build_serving_fn(
+            model, {"params": state.params, "batch_stats": state.batch_stats},
+            rois, rois_3d, means, stds, np.asarray(cfg.image_means),
+            np.asarray(cfg.image_stds), cfg.detect_config(),
+            target_h=cfg.crop_size[0], crop_w=cfg.crop_size[1],
+            bf16_input=bf16_input)
+        blob = export_serving(serve, batch=args.batch, src_h=args.src_h,
+                              src_w=args.src_w, platforms=platforms)
+        out_path = args.out or os.path.join(out_dir, "model.ghlo")
+        meta_io = {
+            "inputs": "images_u8 [B,H0,W0,3] u8; p2 [B,4,4] f32; "
+                      "p2_inv [B,4,4] f32; scale [B] f32",
+            "outputs": "dets [B,topN_post,17] f32; valid [B,topN_post] bool",
+            "batch": args.batch,
+        }
+
     with open(out_path, "wb") as f:
         f.write(blob)
     meta = {
-        "config": cfg.name, "iter": int(state.step), "batch": args.batch,
+        "config": cfg.name, "iter": step,
         "src_hw": [args.src_h, args.src_w],
         "crop_size": list(cfg.crop_size),
         "class_names": list(cfg.lbls), "score_thres": cfg.score_thres,
         "platforms": platforms or [jax.default_backend()],
-        "inputs": "images_u8 [B,H0,W0,3] u8; p2 [B,4,4] f32; "
-                  "p2_inv [B,4,4] f32; scale [B] f32",
-        "outputs": "dets [B,topN_post,17] f32; valid [B,topN_post] bool",
-        "bytes": len(blob),
+        "bytes": len(blob), **meta_io,
     }
     with open(out_path + ".json", "w") as f:
         json.dump(meta, f, indent=1)
@@ -105,22 +175,48 @@ def main():
 
     if args.verify:
         rs = np.random.default_rng(0)
-        imgs = rs.integers(0, 256, (args.batch, args.src_h, args.src_w, 3),
-                           dtype=np.uint8)
-        p2 = np.tile(np.eye(4, dtype=np.float32)[None], (args.batch, 1, 1))
-        p2[:, 0, 0] = p2[:, 1, 1] = 707.0
-        p2[:, 0, 2], p2[:, 1, 2] = 604.0, 180.0
-        p2_inv = np.linalg.inv(p2)
-        scale = np.full((args.batch,),
-                        cfg.crop_size[0] / args.src_h, np.float32)
-        want_d, want_v = jax.block_until_ready(serve(imgs, p2, p2_inv, scale))
         loaded = load_serving(open(out_path, "rb").read())
-        got_d, got_v = jax.block_until_ready(loaded(imgs, p2, p2_inv, scale))
-        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
-        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
-                                   atol=1e-5)
-        log.info("verify OK: artifact reproduces the live pipeline "
-                 "(%d valid dets on random input)", int(np.sum(want_v)))
+        # compare against the JITTED live pipeline: the artifact is a
+        # compiled program, and eager dispatch legitimately differs in
+        # f32 reduction order on TPU
+        jserve = jax.jit(serve)
+        if args.video:
+            n_frames = meta["frames"]
+            clip = rs.integers(0, 256, (n_frames, args.src_h, args.src_w, 3),
+                               dtype=np.uint8)
+            p2 = np.eye(4, dtype=np.float32)
+            p2[0, 0] = p2[1, 1] = 707.0
+            p2[0, 2], p2[1, 2] = 604.0, 180.0
+            p2_inv = np.linalg.inv(p2)
+            scale = np.float32(cfg.crop_size[0] / args.src_h)
+            want = jax.block_until_ready(jserve(clip, p2, p2_inv, scale))
+            got = jax.block_until_ready(loaded(clip, p2, p2_inv, scale))
+            for name, g, w in zip(want._fields, got, want):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           atol=1e-4, err_msg=name)
+            log.info("verify OK: video artifact reproduces the live "
+                     "pipeline (%d tracks)", int(np.sum(want.valid)))
+        else:
+            imgs = rs.integers(0, 256,
+                               (args.batch, args.src_h, args.src_w, 3),
+                               dtype=np.uint8)
+            p2 = np.tile(np.eye(4, dtype=np.float32)[None],
+                         (args.batch, 1, 1))
+            p2[:, 0, 0] = p2[:, 1, 1] = 707.0
+            p2[:, 0, 2], p2[:, 1, 2] = 604.0, 180.0
+            p2_inv = np.linalg.inv(p2)
+            scale = np.full((args.batch,),
+                            cfg.crop_size[0] / args.src_h, np.float32)
+            want_d, want_v = jax.block_until_ready(
+                jserve(imgs, p2, p2_inv, scale))
+            got_d, got_v = jax.block_until_ready(
+                loaded(imgs, p2, p2_inv, scale))
+            np.testing.assert_array_equal(np.asarray(got_v),
+                                          np.asarray(want_v))
+            np.testing.assert_allclose(np.asarray(got_d),
+                                       np.asarray(want_d), atol=1e-4)
+            log.info("verify OK: artifact reproduces the live pipeline "
+                     "(%d valid dets on random input)", int(np.sum(want_v)))
 
 
 if __name__ == "__main__":

@@ -120,6 +120,30 @@ def test_train_then_test_scripts(tmp_path):
     assert train.stdout or True  # logs captured
     assert stats or "evaluated" in test.stdout + test.stderr
 
+    # deployment tail: export the trained checkpoint as an AOT artifact
+    # (self-verified), then serve it over the val images with no model code
+    exp = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "export.py"),
+         "--config", "tiny_synthetic", "--output", str(out_root),
+         "--batch", "2", "--src-h", "96", "--src-w", "320", "--verify"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert exp.returncode == 0, exp.stderr[-3000:]
+    artifact = out_root / "tiny_synthetic" / "model.ghlo"
+    assert artifact.is_file() and (artifact.parent /
+                                   "model.ghlo.json").is_file()
+    serve = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--artifact", str(artifact),
+         "--images", str(kitti / "validation" / "image_2"),
+         "--calib", str(kitti / "validation" / "calib"),
+         "--out", str(tmp_path / "served")],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert serve.returncode == 0, serve.stderr[-3000:]
+    served = sorted(os.listdir(tmp_path / "served"))
+    assert len(served) == 4, "serve.py must write one txt per val image"
+
 
 def test_dashboard_renders_from_metrics_csv(tmp_path):
     """analysis/dashboard.py turns a metrics.csv into a self-contained HTML
