@@ -290,7 +290,21 @@ class ExperimentConfig:
 def load_config(name: str, search_package: str = "configs") -> ExperimentConfig:
     """Import ``<search_package>.<name>`` and call its ``config()``.
 
-    Mirrors init_config (lib/core.py:35-45).
+    Mirrors init_config (lib/core.py:35-45).  Ablation variants (the
+    reference's per-file groumd_nms_{no_group,...}.py modules) live in one
+    factory here (``configs/ablations.py``); their full names resolve
+    through it, so every reference config name works on every script CLI,
+    e.g. ``--config groomed_nms_soft_nms_0_1``.
     """
-    mod = importlib.import_module(f"{search_package}.{name}")
+    try:
+        mod = importlib.import_module(f"{search_package}.{name}")
+    except ModuleNotFoundError:
+        abl = importlib.import_module(f"{search_package}.ablations")
+        prefix = "groomed_nms_"
+        key = name[len(prefix):] if name.startswith(prefix) else name
+        if key in abl.ALL:
+            return abl.ALL[key]()
+        if key.startswith("group_") and key[len("group_"):].isdigit():
+            return abl.group_size(int(key[len("group_"):]))
+        raise
     return mod.config()

@@ -175,6 +175,12 @@ def test_config_modules_load():
     for key, fn in ALL.items():
         cfg = fn()
         assert cfg.name != base.name
+        # factory variants resolve by full name through load_config, so the
+        # reference's per-file config names all work on the script CLIs
+        assert load_config(cfg.name).name == cfg.name
+    assert load_config("groomed_nms_group_200").diff_nms_group_size == 200
+    with pytest.raises(ModuleNotFoundError):
+        load_config("groomed_nms_not_a_real_variant")
 
 
 def test_anchor_scales_formula():
