@@ -165,7 +165,28 @@ def export_serving(serve_fn, *, batch, src_h, src_w, platforms=None):
 
 def load_serving(blob):
     """Deserialize an artifact; returns a callable (jit-compatible)."""
+    import jax
+    import jax.numpy as jnp
     from jax import export as jax_export
+
+    from .models.kalman import Tracks
+
+    if jax.default_backend() == "cpu":
+        # jaxlib registers the LAPACK FFI custom-call targets lazily, when
+        # a linalg op is LOWERED in this process.  A deserialized artifact
+        # that embeds them (the video model's Kalman gain solves lower to
+        # lapack_sgetrf_ffi/lapack_strsm_ffi on CPU) skips that path, and
+        # XLA:CPU invoking an unregistered FFI target segfaults.  One tiny
+        # eager solve registers everything the artifact can reference.
+        jax.block_until_ready(jnp.linalg.solve(jnp.eye(2), jnp.ones((2,))))
+
+    try:
+        # video artifacts return the Tracks pytree; the deserializing side
+        # must know the registered name too (no-op for detection artifacts)
+        jax_export.register_namedtuple_serialization(
+            Tracks, serialized_name="groomed_nms_tpu.models.kalman.Tracks")
+    except ValueError:
+        pass  # already registered in this process
 
     exp = jax_export.deserialize(blob)
 

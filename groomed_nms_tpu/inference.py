@@ -396,3 +396,37 @@ def write_kitti_detections(path, dets, valid, class_names,
             f"{ry3d:.6f} {score:.6f}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
+def write_kitti_tracks(path, tracks, scale, score_thres=0.6,
+                       class_name="Car"):
+    """Write one clip's final smoothed tracks in KITTI result format.
+
+    Shared by scripts/test_kalman.py and scripts/serve.py (video
+    artifacts).  The fused state X is [x y z w3d h3d l3d theta head vel];
+    box2d is in network pixels (mapped back through ``scale``); the score
+    is the 2D score fused with the track confidence; ry comes from theta
+    plus the heading flip, and y is re-grounded by h3d/2 -- the same
+    layout the reference's video eval writes
+    (/root/reference/scripts/test_kalman.py:151-216).
+    """
+    valid = np.asarray(tracks.valid)
+    xs = np.asarray(tracks.X)
+    box2d = np.asarray(tracks.box2d)
+    un = np.asarray(tracks.un)
+    lines = []
+    for ti in np.flatnonzero(valid):
+        x, y, z, w3, h3, l3, theta, head, _ = xs[ti]
+        ry = theta + (np.pi if head >= 0.5 else 0.0)
+        ry = np.arctan2(np.sin(ry), np.cos(ry))
+        alpha = float(rot_y_to_alpha(ry, z, x))
+        score = box2d[ti, 4] * un[ti]
+        if score <= score_thres:
+            continue
+        x1, y1, x2, y2 = box2d[ti, :4] / scale
+        lines.append(
+            f"{class_name} -1 -1 {alpha:.6f} {x1:.6f} {y1:.6f} {x2:.6f} "
+            f"{y2:.6f} {h3:.6f} {w3:.6f} {l3:.6f} {x:.6f} "
+            f"{y + h3 / 2:.6f} {z:.6f} {ry:.6f} {score:.6f}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))

@@ -7,10 +7,17 @@ Usage:
 Loads the serialized StableHLO artifact written by scripts/export.py (plus
 its sibling meta json), batches the images, runs the artifact, and writes
 KITTI-format txt detections.  The only imports from this package are the
-artifact loader and the txt writer -- the model/config/anchor code paths
+artifact loader and the txt writers -- the model/config/anchor code paths
 are not touched, demonstrating that the artifact is a self-contained
 deployment unit (weights, anchors, statistics and the full preprocess ->
 trunk -> decode -> NMS program are baked in).
+
+A video artifact (scripts/export.py --video; meta json carries "frames")
+is served over the SAME image directory treated as one ordered sequence:
+for every frame a clip of the trailing F frames (oldest repeated at the
+start of the sequence, the reference's no-history convention) runs through
+the clip-in/tracks-out program and the frame's smoothed tracks are written
+-- the deployment form of scripts/test_kalman.py's eval loop.
 """
 
 import argparse
@@ -51,7 +58,8 @@ def main():
     from groomed_nms_tpu.data.augment import pad_image_edge
     from groomed_nms_tpu.data.kitti import read_kitti_calib
     from groomed_nms_tpu.export import load_serving
-    from groomed_nms_tpu.inference import write_kitti_detections
+    from groomed_nms_tpu.inference import (write_kitti_detections,
+                                           write_kitti_tracks)
 
     logging.basicConfig(
         force=True, level=logging.INFO, format="%(asctime)s %(message)s")
@@ -59,21 +67,60 @@ def main():
 
     with open(args.artifact + ".json") as f:
         meta = json.load(f)
-    batch = meta["batch"]
     src_h, src_w = meta["src_hw"]
     crop_h = meta["crop_size"][0]
     class_names = meta.get("class_names", ["Car", "Pedestrian", "Cyclist"])
     score_thres = (args.score_thres if args.score_thres is not None
                    else meta.get("score_thres", 0.6))
     loaded = load_serving(open(args.artifact, "rb").read())
-    log.info("artifact %s: batch=%d src=%dx%d classes=%s",
-             args.artifact, batch, src_h, src_w, class_names)
 
     paths = sorted(p for ext in ("png", "jpg", "jpeg")
                    for p in glob.glob(os.path.join(args.images, f"*.{ext}")))
     if not paths:
         raise FileNotFoundError(f"no images under {args.images}")
     os.makedirs(args.out, exist_ok=True)
+
+    def load_frame(path):
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGB"), np.uint8)
+        # edge-pad/crop into the artifact's fixed input plane (the same
+        # convention eval/tester.py uses for stragglers); decode maps
+        # back through the image's own height scale
+        fitted = arr if arr.shape[:2] == (src_h, src_w) \
+            else pad_image_edge(arr, src_h, src_w)
+        return fitted, float(crop_h) / arr.shape[0]
+
+    def calib_for(path):
+        if args.calib:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            cal = os.path.join(args.calib, stem + ".txt")
+            if os.path.exists(cal):
+                return read_kitti_calib(cal)
+        return _default_p2(src_h, src_w)
+
+    if "frames" in meta:  # video artifact: clip in, tracks out
+        n_frames = meta["frames"]
+        log.info("video artifact %s: frames=%d src=%dx%d",
+                 args.artifact, n_frames, src_h, src_w)
+        for i, path in enumerate(paths):
+            window = paths[max(0, i - n_frames + 1):i + 1]
+            window = [window[0]] * (n_frames - len(window)) + window
+            frames, scales = zip(*(load_frame(p) for p in window))
+            p2 = calib_for(path)
+            tracks = loaded(np.stack(frames), p2,
+                            np.linalg.inv(p2).astype(np.float32),
+                            np.float32(scales[-1]))
+            stem = os.path.splitext(os.path.basename(path))[0]
+            write_kitti_tracks(
+                os.path.join(args.out, stem + ".txt"),
+                tracks, scales[-1], score_thres=score_thres,
+                class_name=class_names[0])
+        log.info("wrote %d track files to %s", len(paths), args.out)
+        return
+
+    batch = meta["batch"]
+    log.info("artifact %s: batch=%d src=%dx%d classes=%s",
+             args.artifact, batch, src_h, src_w, class_names)
 
     n_done = 0
     for i in range(0, len(paths), batch):
@@ -82,19 +129,8 @@ def main():
         p2 = np.tile(_default_p2(src_h, src_w)[None], (batch, 1, 1))
         scale = np.full((batch,), float(crop_h) / src_h, np.float32)
         for bi, path in enumerate(chunk):
-            with Image.open(path) as im:
-                arr = np.asarray(im.convert("RGB"), np.uint8)
-            # edge-pad/crop into the artifact's fixed input plane (the same
-            # convention eval/tester.py uses for stragglers); decode maps
-            # back through the image's own height scale
-            imgs[bi] = arr if arr.shape[:2] == (src_h, src_w) \
-                else pad_image_edge(arr, src_h, src_w)
-            scale[bi] = float(crop_h) / arr.shape[0]
-            if args.calib:
-                stem = os.path.splitext(os.path.basename(path))[0]
-                cal = os.path.join(args.calib, stem + ".txt")
-                if os.path.exists(cal):
-                    p2[bi] = read_kitti_calib(cal)
+            imgs[bi], scale[bi] = load_frame(path)
+            p2[bi] = calib_for(path)
         p2_inv = np.linalg.inv(p2)
 
         dets, valid = loaded(imgs, p2, p2_inv, scale)

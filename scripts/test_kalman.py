@@ -46,7 +46,7 @@ def main():
     from groomed_nms_tpu.models.video import (VideoConfig, VideoRPN3D,
                                               extract_measurements,
                                               video_track)
-    from groomed_nms_tpu.ops.geometry import rot_y_to_alpha
+    from groomed_nms_tpu.inference import write_kitti_tracks
 
     cfg = load_config(args.config)
     out_dir = os.path.join(args.output, cfg.name)
@@ -155,27 +155,9 @@ def main():
         tracks = run_clip(flat, jnp.asarray(rec.p2, jnp.float32),
                           jnp.asarray(rec.p2_inv, jnp.float32), scale)
 
-        lines = []
-        valid = np.asarray(tracks.valid)
-        xs = np.asarray(tracks.X)
-        box2d = np.asarray(tracks.box2d)
-        un = np.asarray(tracks.un)
-        for ti in np.flatnonzero(valid):
-            x, y, z, w3, h3, l3, theta, head, _ = xs[ti]
-            ry = theta + (np.pi if head >= 0.5 else 0.0)
-            ry = np.arctan2(np.sin(ry), np.cos(ry))
-            alpha = float(rot_y_to_alpha(ry, z, x))
-            score = box2d[ti, 4] * un[ti]
-            if score <= cfg.score_thres:
-                continue
-            x1, y1, x2, y2 = box2d[ti, :4] / scale
-            lines.append(
-                f"Car -1 -1 {alpha:.6f} {x1:.6f} {y1:.6f} {x2:.6f} "
-                f"{y2:.6f} {h3:.6f} {w3:.6f} {l3:.6f} {x:.6f} "
-                f"{y + h3 / 2:.6f} {z:.6f} {ry:.6f} {score:.6f}")
-        with open(os.path.join(results_dir, "data", rec.id + ".txt"),
-                  "w") as fh:
-            fh.write("\n".join(lines) + ("\n" if lines else ""))
+        write_kitti_tracks(
+            os.path.join(results_dir, "data", rec.id + ".txt"), tracks,
+            scale, score_thres=cfg.score_thres)
         n_done += 1
         if n_done % 200 == 0:
             log.info("tracked %d/%d", n_done, len(imdb))

@@ -259,3 +259,28 @@ def test_train_script_video_dispatch(tmp_path):
     rendered = list(frames_dir.glob("*.png"))
     assert len(rendered) == 2, "one rendered frame per input frame"
     assert "weights restored" in vid.stderr + vid.stdout
+
+    # ---- video deployment tail: clip-in/tracks-out AOT artifact
+    # (self-verified against the live jitted pipeline), then served over
+    # the raw frame sequence with no model code
+    exp = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "export.py"),
+         "--config", "tiny_video_synthetic", "--output", str(out_root),
+         "--video", "--src-h", "96", "--src-w", "320", "--verify"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert exp.returncode == 0, exp.stderr[-3000:]
+    artifact = out_dir / "video_model.ghlo"
+    assert artifact.is_file()
+    import json
+    meta = json.loads((out_dir / "video_model.ghlo.json").read_text())
+    assert meta["frames"] == 2
+    serve = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--artifact", str(artifact), "--images", str(seq / "image_2"),
+         "--out", str(tmp_path / "served_tracks")],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert serve.returncode == 0, serve.stderr[-3000:]
+    served = sorted(os.listdir(tmp_path / "served_tracks"))
+    assert len(served) == 2, "serve.py must write one txt per frame"
