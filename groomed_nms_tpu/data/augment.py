@@ -167,8 +167,13 @@ def pad_image_edge(img, h0, w0):
     """Place ``img`` into an [h0, w0, 3] buffer, edge-replicating into the
     padding.  :func:`preprocess_images_dynamic` masks its resample weights
     to the true extent so the padding content is ignored; replication (vs
-    zeros) just keeps the buffers safe for any unmasked consumer."""
+    zeros) just keeps the buffers safe for any unmasked consumer.
+    ``img`` must fit the plane (use :func:`fit_image_to_plane` when the
+    source size is not controlled)."""
     h, w = img.shape[:2]
+    if h > h0 or w > w0:
+        raise ValueError(
+            f"image ({h}, {w}) exceeds the target plane ({h0}, {w0})")
     out = np.empty((h0, w0, 3), img.dtype)
     out[:h, :w] = img
     if h < h0:
@@ -176,6 +181,31 @@ def pad_image_edge(img, h0, w0):
     if w < w0:
         out[:, w:] = out[:, w - 1:w]
     return out
+
+
+def fit_image_to_plane(img, h0, w0):
+    """Fit an arbitrary-size uint8 image into an [h0, w0, 3] plane.
+
+    Oversized images are bilinearly downscaled (aspect preserved) until
+    they fit, then edge-padded; smaller images are edge-padded directly.
+    Returns ``(fitted, r)`` where ``r`` <= 1 is the applied resize ratio:
+    a consumer mapping plane coordinates back to original pixels must
+    fold ``r`` into its scale (original = plane_coord / r).  Host-side
+    counterpart of eval/tester.py's straggler handling for fixed-plane
+    serving artifacts (scripts/serve.py), where the staged program's
+    static resize factor cannot adapt per image.
+    """
+    h, w = img.shape[:2]
+    r = min(h0 / h, w0 / w, 1.0)
+    if r < 1.0:
+        from PIL import Image
+        nh, nw = min(int(round(h * r)), h0), min(int(round(w * r)), w0)
+        img = np.asarray(Image.fromarray(img).resize((nw, nh),
+                                                     Image.BILINEAR))
+        r = nh / h  # the ratio actually applied after rounding
+    if img.shape[:2] == (h0, w0):
+        return img, r
+    return pad_image_edge(img, h0, w0), r
 
 
 def photometric_distort(key, images, brightness=0.2, contrast=0.2,

@@ -58,6 +58,30 @@ def anchor_stat_widths(cfg):
     return a_cols, s_cols
 
 
+def resolve_stats_dir(cfg, out_dir):
+    """Directory holding this config's ``anchors.npz`` (priors + stats).
+
+    Mirrors scripts/train.py's ``copy_stats`` rule (reference
+    scripts/train_rpn_3d.py:103-117 copies the warmup run's pickles): when
+    the config points at a pretrained run whose cached layout matches this
+    stage's (has_vel, decomp_alpha) column widths, that run's stats are
+    authoritative; otherwise ``out_dir``.  Eval/export entry points must go
+    through this so a ``copy_stats`` config (e.g. the flagship
+    ``groomed_nms``) finds the anchors the training stage actually used
+    instead of silently fabricating priors from an empty imdb.
+    """
+    if getattr(cfg, "copy_stats", False) and getattr(cfg, "pretrained", None):
+        cache = os.path.join(cfg.pretrained, "anchors.npz")
+        if not os.path.exists(os.path.join(out_dir, "anchors.npz")) \
+                and os.path.exists(cache):
+            z = np.load(cache)
+            a_cols, s_cols = anchor_stat_widths(cfg)
+            if (z["anchors"].shape[1] == a_cols
+                    and z["bbox_means"].shape[0] == s_cols):
+                return cfg.pretrained
+    return out_dir
+
+
 def prepare_anchors(cfg, imdb, cache_dir=None):
     """Learn per-anchor 3D priors + target mean/std over the imdb.
 
@@ -84,6 +108,15 @@ def prepare_anchors(cfg, imdb, cache_dir=None):
                 f"expected {a_cols}/{s_cols} for has_vel={cfg.has_vel} "
                 f"decomp_alpha={cfg.decomp_alpha}; cannot recompute from an "
                 "empty imdb")
+    elif not len(imdb):
+        # an eval/export entry point with no training artifacts: priors
+        # learned from nothing would be all-zero (w3d=exp(d)*0 boxes) --
+        # a silently broken model.  Fail loudly instead.
+        raise ValueError(
+            f"no anchors.npz under {cache_dir!r} and the imdb is empty -- "
+            "anchor priors and bbox statistics are learned during training "
+            "(scripts/train.py); for copy_stats configs they live in the "
+            "pretrained run's directory (see resolve_stats_dir)")
 
     templates = generate_anchor_templates(cfg.anchor_scales,
                                           cfg.anchor_ratios, cfg.feat_stride)

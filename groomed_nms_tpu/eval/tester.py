@@ -145,8 +145,22 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
             bi, rec = bi_rec
             with Image.open(rec.image_path) as im:
                 arr = np.asarray(im.convert("RGB"), np.uint8)
-            imgs[bi] = arr if arr.shape[:2] == (h0, w0) \
-                else pad_image_edge(arr, h0, w0)
+            if arr.shape[:2] == (h0, w0):
+                imgs[bi] = arr
+            elif single and arr.shape[0] <= h0 and arr.shape[1] <= w0:
+                # single-program mode: smaller-than-plane stragglers are
+                # edge-padded; the dynamic resample masks to hw[bi] and
+                # scale uses the true height, so this is exact
+                imgs[bi] = pad_image_edge(arr, h0, w0)
+            else:
+                # static mode resizes the whole plane by crop/h0 while
+                # scale would use the true height -- silently wrong boxes;
+                # oversized images cannot fit the plane in either mode
+                raise ValueError(
+                    f"{rec.image_path}: decoded size {arr.shape[:2]} does "
+                    f"not match the imdb metadata ({rec.im_h}, {rec.im_w})"
+                    f" / batch plane ({h0}, {w0}) -- stale imdb cache? "
+                    "Rebuild it or use eval_single_program for mixed sizes")
             hw[bi] = arr.shape[:2]
             p2[bi] = rec.p2
 

@@ -131,6 +131,14 @@ def bbox_transform_3d(ex_rois_2d, ex_rois_3d, gt_rois, decomp_alpha=False,
         cols.append(gt_rois[..., 12] - ex_rois_3d[..., 5])
         cols.append(gt_rois[..., 13] - ex_rois_3d[..., 6])
         if has_vel:
+            if ex_rois_3d.shape[-1] < 8:
+                # guard: jnp silently CLAMPS out-of-bounds static indices,
+                # so a 7-col prior would make [..., 7] read the cos prior
+                # and corrupt every velocity target without any error
+                raise ValueError(
+                    "has_vel targets need an 8-column anchor prior "
+                    f"[z w3d h3d l3d rotY sin cos vel]; got "
+                    f"{ex_rois_3d.shape[-1]} columns")
             if gt_rois.shape[-1] == 17:
                 cols.append(gt_rois[..., 16] - ex_rois_3d[..., 7])
             else:

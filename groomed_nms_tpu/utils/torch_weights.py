@@ -194,6 +194,66 @@ def assemble_video_variables(video_model, single_frame_state, pose_npz=None,
     return {"params": params, "batch_stats": stats}
 
 
+def load_video_variables(model, cfg, out_dir, restore=None, log=None):
+    """Restore serving variables for a ``VideoRPN3D`` model.
+
+    The one shared implementation of the loading rule previously
+    triplicated across scripts/{test_kalman,tracking_video,export}.py:
+    when ``out_dir`` holds a video-stage checkpoint (scripts/train.py's
+    video dispatch saves the full VideoRPN3D, rpn + pose branch), restore
+    it directly; otherwise assemble the RPN subtree from the single-frame
+    checkpoint -- warning loudly on random init, so an untrained serving
+    artifact is never silent -- plus the pose branch and pose statistics
+    written by scripts/train_pose.py (identity stats when absent).
+
+    Returns ``(variables, pose_means, pose_stds, step)``.
+    """
+    import logging
+    import os
+
+    from ..models import RPN3D
+    from ..training import (build_lr_schedule, build_optimizer,
+                            create_train_state, latest_checkpoint,
+                            restore_checkpoint)
+
+    log = log or logging.getLogger(__name__)
+    tx = build_optimizer("sgd", build_lr_schedule(cfg.lr, 100))
+    ckpt = latest_checkpoint(out_dir)
+    if ckpt is not None and cfg.model == "kalman":
+        v_state = create_train_state(
+            model, (1, max(1, cfg.video_count), 64, 64, 3), tx)
+        v_state = restore_checkpoint(out_dir, v_state, restore,
+                                     restore_optimizer=False)
+        variables = {"params": v_state.params,
+                     "batch_stats": v_state.batch_stats}
+        step = int(v_state.step)
+        log.info("video-model weights restored from %s (iter %d)",
+                 out_dir, step)
+    else:
+        sf_state = create_train_state(RPN3D(model.config.rpn),
+                                      (1, 64, 64, 3), tx)
+        if ckpt is not None:
+            sf_state = restore_checkpoint(out_dir, sf_state, restore,
+                                          restore_optimizer=False)
+            log.info("single-frame weights restored from %s (iter %d)",
+                     out_dir, int(sf_state.step))
+        else:
+            log.warning("no checkpoint under %s; using random weights",
+                        out_dir)
+        pose_npz = os.path.join(out_dir + "_pose", "pose_net_params.npz")
+        variables = assemble_video_variables(
+            model, sf_state, pose_npz if os.path.exists(pose_npz) else None)
+        step = int(sf_state.step)
+
+    pose_stats = os.path.join(out_dir + "_pose", "pose_stats.npz")
+    if os.path.exists(pose_stats):
+        z = np.load(pose_stats)
+        pose_means, pose_stds = z["means"], z["stds"]
+    else:
+        pose_means, pose_stds = np.zeros(6), np.ones(6)
+    return variables, pose_means, pose_stds, step
+
+
 def widen_fused_head_for_velocity(params, num_anchors, num_classes):
     """Insert a zero-init velocity channel into a fused head kernel/bias.
 

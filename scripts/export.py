@@ -68,7 +68,12 @@ def main():
 
     cfg = load_config(args.config)
     out_dir = os.path.join(args.output, cfg.name)
-    anchors, means, stds = prepare_anchors(cfg, [], cache_dir=out_dir)
+    # anchors/stats must come from the training run (or its copy_stats
+    # pretrained source); prepare_anchors raises rather than fabricating
+    # zero priors from the empty imdb
+    from groomed_nms_tpu.data.pipeline import resolve_stats_dir
+    anchors, means, stds = prepare_anchors(
+        cfg, [], cache_dir=resolve_stats_dir(cfg, out_dir))
     feat_hw = (cfg.crop_size[0] // cfg.feat_stride,
                cfg.crop_size[1] // cfg.feat_stride)
     rois = np.asarray(locate_anchors(anchors, feat_hw, cfg.feat_stride))
@@ -80,13 +85,13 @@ def main():
     bf16_input = cfg.compute_dtype == "bfloat16"
 
     if args.video:
-        # mirror scripts/test_kalman.py's loading: a video-stage checkpoint
-        # restores the full VideoRPN3D; otherwise assemble trunk/heads from
-        # the single-frame checkpoint + the train_pose.py pose branch
+        # shared loading rule with scripts/test_kalman.py: a video-stage
+        # checkpoint restores the full VideoRPN3D; otherwise assemble
+        # trunk/heads from the single-frame checkpoint + the train_pose.py
+        # pose branch (warns on random init -- never a silent untrained
+        # artifact)
         from groomed_nms_tpu.models.video import VideoConfig, VideoRPN3D
-        from groomed_nms_tpu.training import latest_checkpoint
-        from groomed_nms_tpu.utils.torch_weights import \
-            assemble_video_variables
+        from groomed_nms_tpu.utils.torch_weights import load_video_variables
 
         vcfg = VideoConfig(rpn=cfg.rpn_config(anchors.shape[0]),
                            score_thres=cfg.score_thres,
@@ -94,31 +99,9 @@ def main():
                            best_thresh=cfg.best_thresh)
         model = VideoRPN3D(vcfg)
         n_frames = args.frames or max(2, cfg.video_count)
-        ckpt = latest_checkpoint(out_dir)
-        if ckpt is not None and cfg.model == "kalman":
-            v_state = create_train_state(model, (1, n_frames, 64, 64, 3), tx)
-            v_state = restore_checkpoint(out_dir, v_state, args.restore,
-                                         restore_optimizer=False)
-            variables = {"params": v_state.params,
-                         "batch_stats": v_state.batch_stats}
-            step = int(v_state.step)
-        else:
-            sf_state = create_train_state(RPN3D(vcfg.rpn), (1, 64, 64, 3), tx)
-            if ckpt is not None:
-                sf_state = restore_checkpoint(out_dir, sf_state, args.restore,
-                                              restore_optimizer=False)
-            pose_npz = os.path.join(out_dir + "_pose", "pose_net_params.npz")
-            variables = assemble_video_variables(
-                model, sf_state,
-                pose_npz if os.path.exists(pose_npz) else None)
-            step = int(sf_state.step)
-        pose_stats = os.path.join(out_dir + "_pose", "pose_stats.npz")
-        if os.path.exists(pose_stats):
-            z = np.load(pose_stats)
-            pose_means, pose_stds = z["means"], z["stds"]
-        else:
-            pose_means, pose_stds = np.zeros(6), np.ones(6)
-        log.info("video model restored (iter %d, %d frames)", step, n_frames)
+        variables, pose_means, pose_stds, step = load_video_variables(
+            model, cfg, out_dir, args.restore, log)
+        log.info("video model ready (iter %d, %d frames)", step, n_frames)
 
         serve = build_video_serving_fn(
             model, variables, rois, rois_3d, means, stds,

@@ -55,7 +55,7 @@ def main():
     import numpy as np
     from PIL import Image
 
-    from groomed_nms_tpu.data.augment import pad_image_edge
+    from groomed_nms_tpu.data.augment import fit_image_to_plane
     from groomed_nms_tpu.data.kitti import read_kitti_calib
     from groomed_nms_tpu.export import load_serving
     from groomed_nms_tpu.inference import (write_kitti_detections,
@@ -83,12 +83,15 @@ def main():
     def load_frame(path):
         with Image.open(path) as im:
             arr = np.asarray(im.convert("RGB"), np.uint8)
-        # edge-pad/crop into the artifact's fixed input plane (the same
-        # convention eval/tester.py uses for stragglers); decode maps
-        # back through the image's own height scale
-        fitted = arr if arr.shape[:2] == (src_h, src_w) \
-            else pad_image_edge(arr, src_h, src_w)
-        return fitted, float(crop_h) / arr.shape[0]
+        # fit into the artifact's fixed input plane: oversized images are
+        # host-downscaled (ratio r), smaller ones edge-padded.  The staged
+        # program's preprocess resizes the WHOLE plane by the static
+        # factor crop_h/src_h (it cannot see the true extent), so the
+        # network->original mapping the decode divides by is
+        # (crop_h/src_h) * r -- NOT crop_h/true_h, which would shift
+        # every box for any image smaller than the plane.
+        fitted, r = fit_image_to_plane(arr, src_h, src_w)
+        return fitted, float(crop_h) / src_h * r
 
     def calib_for(path):
         if args.calib:

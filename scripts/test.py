@@ -84,11 +84,11 @@ def main():
     log.info("val imdb: %d images (shard %d/%d)", len(imdb),
              args.shard_index, args.num_shards)
 
-    if not os.path.exists(os.path.join(out_dir, "anchors.npz")):
-        raise FileNotFoundError(
-            f"{out_dir}/anchors.npz missing -- run scripts/train.py first "
-            "(anchor priors + bbox statistics are learned from the train set)")
-    anchors, means, stds = prepare_anchors(cfg, [], cache_dir=out_dir)
+    # anchors/stats from the training run (or, for copy_stats configs, the
+    # pretrained run it reused); prepare_anchors raises if neither exists
+    from groomed_nms_tpu.data.pipeline import resolve_stats_dir
+    anchors, means, stds = prepare_anchors(
+        cfg, [], cache_dir=resolve_stats_dir(cfg, out_dir))
     feat_hw = (cfg.crop_size[0] // cfg.feat_stride,
                cfg.crop_size[1] // cfg.feat_stride)
     rois = np.asarray(locate_anchors(anchors, feat_hw, cfg.feat_stride))

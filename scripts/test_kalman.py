@@ -63,7 +63,9 @@ def main():
     if args.limit:
         imdb = imdb[:args.limit]
 
-    anchors, means, stds = prepare_anchors(cfg, [], cache_dir=out_dir)
+    from groomed_nms_tpu.data.pipeline import resolve_stats_dir
+    anchors, means, stds = prepare_anchors(
+        cfg, [], cache_dir=resolve_stats_dir(cfg, out_dir))
     feat_hw = (cfg.crop_size[0] // cfg.feat_stride,
                cfg.crop_size[1] // cfg.feat_stride)
     rois = np.asarray(locate_anchors(anchors, feat_hw, cfg.feat_stride))
@@ -73,48 +75,12 @@ def main():
                        score_thres=cfg.score_thres, nms_thres=cfg.nms_thres,
                        best_thresh=cfg.best_thresh)
     model = VideoRPN3D(vcfg)
-    # assemble: RPN trunk/heads from the single-frame checkpoint,
-    # pose branch from scripts/train_pose.py output (when present)
-    from groomed_nms_tpu.training import (build_lr_schedule, build_optimizer,
-                                          create_train_state,
-                                          latest_checkpoint,
-                                          restore_checkpoint)
-    from groomed_nms_tpu.models import RPN3D
-    from groomed_nms_tpu.utils.torch_weights import assemble_video_variables
-
-    tx = build_optimizer("sgd", build_lr_schedule(cfg.lr, 100))
-    ckpt = latest_checkpoint(out_dir)
-    if ckpt is not None and cfg.model == "kalman":
-        # out_dir holds a video-stage checkpoint: scripts/train.py's video
-        # dispatch saves the full VideoRPN3D (rpn + pose branch) -- restore
-        # it directly rather than via the single-frame assembly
-        v_state = create_train_state(
-            model, (1, max(1, cfg.video_count), 64, 64, 3), tx)
-        v_state = restore_checkpoint(out_dir, v_state, args.restore,
-                                     restore_optimizer=False)
-        variables = {"params": v_state.params,
-                     "batch_stats": v_state.batch_stats}
-        log.info("video-model weights restored (iter %d)", int(v_state.step))
-    else:
-        sf_state = create_train_state(RPN3D(vcfg.rpn), (1, 64, 64, 3), tx)
-        if ckpt is not None:
-            sf_state = restore_checkpoint(out_dir, sf_state, args.restore,
-                                          restore_optimizer=False)
-            log.info("single-frame weights restored (iter %d)",
-                     int(sf_state.step))
-        else:
-            log.warning("no checkpoint under %s; using random weights",
-                        out_dir)
-        pose_npz = os.path.join(out_dir + "_pose", "pose_net_params.npz")
-        variables = assemble_video_variables(
-            model, sf_state, pose_npz if os.path.exists(pose_npz) else None)
-
-    pose_stats = os.path.join(out_dir + "_pose", "pose_stats.npz")
-    if os.path.exists(pose_stats):
-        z = np.load(pose_stats)
-        pose_means, pose_stds = z["means"], z["stds"]
-    else:
-        pose_means, pose_stds = np.zeros(6), np.ones(6)
+    # shared loading rule (utils/torch_weights.py): video-stage checkpoint
+    # restores the full VideoRPN3D; otherwise RPN trunk/heads come from the
+    # single-frame checkpoint + the scripts/train_pose.py pose branch
+    from groomed_nms_tpu.utils.torch_weights import load_video_variables
+    variables, pose_means, pose_stds, _ = load_video_variables(
+        model, cfg, out_dir, args.restore, log)
 
     means_img = jnp.asarray(cfg.image_means)
     stds_img = jnp.asarray(cfg.image_stds)

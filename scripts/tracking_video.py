@@ -68,7 +68,9 @@ def main():
     p2 = read_kitti_calib(os.path.join(args.sequence, "calib.txt"))
 
     out_dir = os.path.join(args.output, cfg.name)
-    anchors, means, stds = prepare_anchors(cfg, [], cache_dir=out_dir)
+    from groomed_nms_tpu.data.pipeline import resolve_stats_dir
+    anchors, means, stds = prepare_anchors(
+        cfg, [], cache_dir=resolve_stats_dir(cfg, out_dir))
     feat_hw = (cfg.crop_size[0] // cfg.feat_stride,
                cfg.crop_size[1] // cfg.feat_stride)
     rois = np.asarray(locate_anchors(anchors, feat_hw, cfg.feat_stride))
@@ -77,40 +79,12 @@ def main():
     vcfg = VideoConfig(rpn=cfg.rpn_config(anchors.shape[0]),
                        score_thres=cfg.score_thres, nms_thres=cfg.nms_thres)
     model = VideoRPN3D(vcfg)
-    # trained weights when available (single-frame checkpoint + optional
-    # pose branch, same assembly as scripts/test_kalman.py); random init
-    # keeps the demo runnable without a training run
-    from groomed_nms_tpu.models import RPN3D
-    from groomed_nms_tpu.training import (build_lr_schedule, build_optimizer,
-                                          create_train_state,
-                                          latest_checkpoint,
-                                          restore_checkpoint)
-    from groomed_nms_tpu.utils.torch_weights import assemble_video_variables
-    tx = build_optimizer("sgd", build_lr_schedule(cfg.lr, 100))
-    ckpt = latest_checkpoint(out_dir)
-    if ckpt is not None and cfg.model == "kalman":
-        # video-stage checkpoint: restore the full VideoRPN3D directly
-        v_state = create_train_state(
-            model, (1, max(1, cfg.video_count), 64, 64, 3), tx)
-        v_state = restore_checkpoint(out_dir, v_state, args.restore,
-                                     restore_optimizer=False)
-        variables = {"params": v_state.params,
-                     "batch_stats": v_state.batch_stats}
-        log.info("weights restored from %s (iter %d)", out_dir,
-                 int(v_state.step))
-    else:
-        sf_state = create_train_state(RPN3D(vcfg.rpn), (1, 64, 64, 3), tx)
-        if ckpt is not None:
-            sf_state = restore_checkpoint(out_dir, sf_state, args.restore,
-                                          restore_optimizer=False)
-            log.info("weights restored from %s (iter %d)", out_dir,
-                     int(sf_state.step))
-        else:
-            log.warning("no checkpoint under %s; using random weights",
-                        out_dir)
-        pose_npz = os.path.join(out_dir + "_pose", "pose_net_params.npz")
-        variables = assemble_video_variables(
-            model, sf_state, pose_npz if os.path.exists(pose_npz) else None)
+    # shared loading rule (utils/torch_weights.py): trained weights when
+    # available (video-stage checkpoint, else single-frame + pose branch);
+    # random init keeps the demo runnable without a training run
+    from groomed_nms_tpu.utils.torch_weights import load_video_variables
+    variables, _, _, _ = load_video_variables(
+        model, cfg, out_dir, args.restore, log)
 
     means_img = jnp.asarray(cfg.image_means)
     stds_img = jnp.asarray(cfg.image_stds)

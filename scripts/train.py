@@ -84,26 +84,15 @@ def main():
     log.info("imdb: %d images", len(imdb))
 
     # anchors + stats: optionally copied from the warmup run (copy_stats).
-    # Only reuse the warmup anchors.npz when its column layout matches this
-    # stage's (has_vel, decomp_alpha) -- a has_vel stage needs 12-col anchors
-    # + 14-col stats, which a still-image warmup run does not produce;
-    # otherwise recompute fresh in out_dir (never overwrite the warmup's).
-    from groomed_nms_tpu.data.pipeline import anchor_stat_widths
-    stats_dir = out_dir
-    if cfg.copy_stats and cfg.pretrained and os.path.exists(
-            os.path.join(cfg.pretrained, "anchors.npz")):
-        z = np.load(os.path.join(cfg.pretrained, "anchors.npz"))
-        a_cols, s_cols = anchor_stat_widths(cfg)
-        if (z["anchors"].shape[1] == a_cols
-                and z["bbox_means"].shape[0] == s_cols):
-            stats_dir = cfg.pretrained
-        else:
-            log.info(
-                "copy_stats: pretrained anchors.npz layout %d/%d cols does "
-                "not match has_vel=%s decomp_alpha=%s (need %d/%d); "
-                "recomputing fresh stats in %s",
-                z["anchors"].shape[1], z["bbox_means"].shape[0], cfg.has_vel,
-                cfg.decomp_alpha, a_cols, s_cols, out_dir)
+    # resolve_stats_dir only reuses the warmup anchors.npz when its column
+    # layout matches this stage's (has_vel, decomp_alpha) -- a has_vel
+    # stage needs 12-col anchors + 14-col stats, which a still-image
+    # warmup run does not produce; otherwise recompute fresh in out_dir
+    # (never overwrite the warmup's).
+    from groomed_nms_tpu.data.pipeline import resolve_stats_dir
+    stats_dir = resolve_stats_dir(cfg, out_dir)
+    if stats_dir != out_dir:
+        log.info("copy_stats: reusing anchors/statistics from %s", stats_dir)
     anchors, means, stds = prepare_anchors(cfg, imdb, cache_dir=stats_dir)
     log.info("anchors: %s, means/stds ready", anchors.shape)
 

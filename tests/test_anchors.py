@@ -200,3 +200,25 @@ def test_compute_targets_inf_velocity_does_not_poison_other_rois():
     assert np.isfinite(vel[:4]).all(), vel      # matched to the finite GT
     assert not np.isfinite(vel[4:]).any(), vel  # matched to the -inf GT
     assert not np.isnan(vel).any(), vel
+
+
+def test_has_vel_rejects_seven_column_priors():
+    """jnp silently CLAMPS out-of-bounds static indices, so a has_vel
+    target computation fed 7-column priors (no vel column) would read the
+    cos prior as the velocity prior and corrupt every velocity target
+    without any error -- bbox_transform_3d must raise instead (review r3,
+    caught live in the multichip dryrun)."""
+    import pytest
+
+    from groomed_nms_tpu.ops.boxes import bbox_transform_3d
+
+    rois_2d = jnp.asarray([[0.0, 0.0, 20.0, 20.0]])
+    rois_3d_7 = jnp.ones((1, 7))
+    gt = jnp.ones((1, 17))
+    with pytest.raises(ValueError, match="8-column"):
+        bbox_transform_3d(rois_2d, rois_3d_7, gt,
+                          decomp_alpha=True, has_vel=True)
+    # 8 columns pass
+    out = bbox_transform_3d(rois_2d, jnp.ones((1, 8)), gt,
+                            decomp_alpha=True, has_vel=True)
+    assert out.shape[-1] == 20

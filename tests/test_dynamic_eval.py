@@ -32,6 +32,76 @@ def test_pad_image_edge_replicates():
     np.testing.assert_array_equal(out[:, 4], out[:, 2])
 
 
+def test_pad_image_edge_rejects_oversize():
+    img = np.zeros((5, 3, 3), np.uint8)
+    with pytest.raises(ValueError, match="exceeds"):
+        pad_image_edge(img, 4, 5)
+
+
+def test_fit_image_to_plane(rng):
+    from groomed_nms_tpu.data.augment import fit_image_to_plane
+
+    # exact fit: unchanged, no rescale
+    img = rng.integers(0, 256, (4, 5, 3), np.uint8)
+    out, r = fit_image_to_plane(img, 4, 5)
+    assert r == 1.0
+    np.testing.assert_array_equal(out, img)
+
+    # smaller: edge-padded, no rescale
+    img = rng.integers(0, 256, (2, 3, 3), np.uint8)
+    out, r = fit_image_to_plane(img, 4, 5)
+    assert r == 1.0 and out.shape == (4, 5, 3)
+    np.testing.assert_array_equal(out[:2, :3], img)
+
+    # oversized: downscaled (aspect preserved) until it fits, then padded;
+    # r reports the applied ratio so consumers can fold it into their scale
+    img = rng.integers(0, 256, (8, 20, 3), np.uint8)
+    out, r = fit_image_to_plane(img, 4, 5)
+    assert out.shape == (4, 5, 3)
+    assert r == pytest.approx(0.25)  # width-limited: 5/20
+
+
+def test_tester_raises_on_stale_imdb_metadata(tmp_path):
+    """Grouped (static-resize) eval must fail LOUDLY when an image's
+    decoded size contradicts its imdb metadata: the batch plane and the
+    static resize factor come from the metadata while ``scale`` uses the
+    true height, so proceeding would silently shift every box of that
+    image (review r3).  The error fires during the first chunk load --
+    before any compile."""
+    from groomed_nms_tpu.anchors import locate_anchors
+    from groomed_nms_tpu.config import load_config
+    from groomed_nms_tpu.data.imdb import build_imdb
+    from groomed_nms_tpu.data.pipeline import prepare_anchors
+    from groomed_nms_tpu.eval.tester import test_kitti_3d
+    from groomed_nms_tpu.models import RPN3D
+    from groomed_nms_tpu.training import (build_lr_schedule, build_optimizer,
+                                          create_train_state)
+
+    cfg = load_config("tiny_synthetic")
+    root = str(tmp_path / "kitti")
+    _make_mixed_tree(root, "validation", [(96, 320), (96, 320)])
+    imdb = build_imdb(root, "validation", use_3d_for_2d=cfg.use_3d_for_2d,
+                      cache_file=None)
+    # stale metadata: claims 120 rows, the file on disk has 96
+    imdb[0].im_h = 120
+
+    anchors, means, stds = prepare_anchors(cfg, imdb)
+    feat_hw = (cfg.crop_size[0] // cfg.feat_stride,
+               cfg.crop_size[1] // cfg.feat_stride)
+    rois = np.asarray(locate_anchors(anchors, feat_hw, cfg.feat_stride))
+    rois_3d = anchors[rois[:, 4].astype(np.int64), 4:]
+    model = RPN3D(cfg.rpn_config(anchors.shape[0]))
+    tx = build_optimizer(cfg.solver_type,
+                         build_lr_schedule(cfg.lr, cfg.max_iter))
+    state = create_train_state(model, (1, 64, 64, 3), tx)
+
+    with pytest.raises(ValueError, match="stale imdb"):
+        test_kitti_3d(cfg, model, state.params, state.batch_stats, rois,
+                      rois_3d, means, stds, imdb,
+                      str(tmp_path / "res"), gt_dir=None, batch_size=2,
+                      skip_eval=True)
+
+
 def _static(imgs, target_h, crop_w):
     import jax.numpy as jnp
     return np.asarray(preprocess_images(

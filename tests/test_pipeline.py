@@ -89,6 +89,51 @@ def test_prepare_anchors(mini_kitti, tmp_path):
     np.testing.assert_allclose(a2, anchors)
 
 
+def test_prepare_anchors_empty_imdb_requires_cache(tmp_path):
+    """Eval/export entry points pass an empty imdb: with no cached
+    anchors.npz the priors would be learned from nothing (all-zero w3d
+    priors -> exp(d)*0 boxes, a silently broken model), so prepare_anchors
+    must refuse (review r3)."""
+    with pytest.raises(ValueError, match="anchors.npz"):
+        prepare_anchors(_tiny_cfg(), [], cache_dir=str(tmp_path))
+
+
+def test_resolve_stats_dir_copy_stats(mini_kitti, tmp_path):
+    """copy_stats configs (the flagship groomed_nms stage) keep their
+    anchors/statistics in the pretrained (warmup) run's directory:
+    resolve_stats_dir must route eval/export there when out_dir has none,
+    but only when the cached layout matches this stage's columns."""
+    import dataclasses
+
+    from groomed_nms_tpu.data.pipeline import resolve_stats_dir
+
+    pre = tmp_path / "warmup"
+    out = tmp_path / "stage2"
+    pre.mkdir(), out.mkdir()
+    imdb = build_imdb(mini_kitti, "training")
+    base = _tiny_cfg()
+    prepare_anchors(base, imdb, cache_dir=str(pre))  # 11/13-col cache
+
+    cfg = dataclasses.replace(base, copy_stats=True, pretrained=str(pre))
+    # out_dir empty + matching pretrained cache -> pretrained
+    assert resolve_stats_dir(cfg, str(out)) == str(pre)
+    a, m, s = prepare_anchors(cfg, [], cache_dir=resolve_stats_dir(
+        cfg, str(out)))
+    assert a.shape[1] == 11 and m.shape == (13,)
+    # an own out_dir cache wins (training recomputed there)
+    prepare_anchors(cfg, imdb, cache_dir=str(out))
+    assert resolve_stats_dir(cfg, str(out)) == str(out)
+    # layout mismatch (has_vel stage vs still-image warmup cache): never
+    # route to the pretrained dir
+    vel_cfg = dataclasses.replace(base, copy_stats=True,
+                                  pretrained=str(pre), has_vel=True)
+    out2 = tmp_path / "video_stage"
+    out2.mkdir()
+    assert resolve_stats_dir(vel_cfg, str(out2)) == str(out2)
+    # copy_stats off -> always out_dir
+    assert resolve_stats_dir(base, str(out2)) == str(out2)
+
+
 def test_train_loader_batches(mini_kitti):
     cfg = _tiny_cfg()
     imdb = build_imdb(mini_kitti, "training")
