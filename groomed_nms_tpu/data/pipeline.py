@@ -277,23 +277,46 @@ class TrainLoader:
         with Image.open(rec.image_path) as im:
             return np.asarray(im.convert("RGB"), np.uint8)
 
-    def _make_batch(self):
-        cfg = self.cfg
+    def _sample_indices(self):
+        """Weighted record sampling within one size group (a batch must
+        hold ONE image size -- see __init__)."""
         gi = self.rng.choice(len(self._size_groups), p=self._group_w)
         group = self._size_groups[gi]
         gw = self.weights[group]
-        idx = self.rng.choice(group, size=cfg.batch_size, p=gw / gw.sum())
+        return self.rng.choice(group, size=self.cfg.batch_size,
+                               p=gw / gw.sum())
+
+    def _sample_labels(self, rec, cur_frame):
+        """Mirror + scale the CURRENT frame's GTs (shared with the clip
+        loader, whose loss supervises only the current frame)."""
+        cfg = self.cfg
+        mirror = self.rng.random() <= cfg.mirror_prob
+        gts = rec.gts
+        if mirror and gts:
+            gts = mirror_labels(gts, rec.p2_inv, cur_frame.shape[1])
+        scale = cfg.test_scale / cur_frame.shape[0]
+        if gts:
+            gts = scale_labels(gts, scale)
+        return gts, scale, mirror
+
+    def _finish_batch(self, img_arr, gts_list, p2s, scales, mirrors):
+        cfg = self.cfg
+        gt_batch = pad_gt_batch(gts_list, p2s, scales, list(cfg.lbls),
+                                list(cfg.ilbls), cfg.min_gt_vis, cfg.min_gt_h,
+                                max_gts=cfg.max_gts, max_igns=cfg.max_igns,
+                                n3d_cols=self._n3d_cols)
+        return {"images_u8": img_arr,
+                "mirror": np.asarray(mirrors, bool),
+                "gt": gt_batch}
+
+    def _make_batch(self):
+        cfg = self.cfg
+        idx = self._sample_indices()
         images, gts_list, p2s, scales, mirrors = [], [], [], [], []
         for i in idx:
             rec = self.imdb[i]
             img = self._load_image(rec)
-            mirror = self.rng.random() <= cfg.mirror_prob
-            gts = rec.gts
-            if mirror and gts:
-                gts = mirror_labels(gts, rec.p2_inv, img.shape[1])
-            scale = cfg.test_scale / img.shape[0]
-            if gts:
-                gts = scale_labels(gts, scale)
+            gts, scale, mirror = self._sample_labels(rec, img)
             images.append(img)
             gts_list.append(gts)
             p2s.append(rec.p2)
@@ -306,14 +329,7 @@ class TrainLoader:
         img_arr = np.zeros((cfg.batch_size, h0, w0, 3), np.uint8)
         for bi, im in enumerate(images):
             img_arr[bi, :im.shape[0], :im.shape[1]] = im
-
-        gt_batch = pad_gt_batch(gts_list, p2s, scales, list(cfg.lbls),
-                                list(cfg.ilbls), cfg.min_gt_vis, cfg.min_gt_h,
-                                max_gts=cfg.max_gts, max_igns=cfg.max_igns,
-                                n3d_cols=self._n3d_cols)
-        return {"images_u8": img_arr,
-                "mirror": np.asarray(mirrors, bool),
-                "gt": gt_batch}
+        return self._finish_batch(img_arr, gts_list, p2s, scales, mirrors)
 
     def _worker(self):
         while True:
@@ -371,22 +387,12 @@ class VideoTrainLoader(TrainLoader):
 
     def _make_batch(self):
         cfg = self.cfg
-        f = self.n_frames
-        gi = self.rng.choice(len(self._size_groups), p=self._group_w)
-        group = self._size_groups[gi]
-        gw = self.weights[group]
-        idx = self.rng.choice(group, size=cfg.batch_size, p=gw / gw.sum())
+        idx = self._sample_indices()
         clips, gts_list, p2s, scales, mirrors = [], [], [], [], []
         for i in idx:
             rec = self.imdb[i]
             frames = self._load_clip(rec)
-            mirror = self.rng.random() <= cfg.mirror_prob
-            gts = rec.gts
-            if mirror and gts:
-                gts = mirror_labels(gts, rec.p2_inv, frames[-1].shape[1])
-            scale = cfg.test_scale / frames[-1].shape[0]
-            if gts:
-                gts = scale_labels(gts, scale)
+            gts, scale, mirror = self._sample_labels(rec, frames[-1])
             clips.append(np.stack(frames))
             gts_list.append(gts)
             p2s.append(rec.p2)
@@ -395,17 +401,11 @@ class VideoTrainLoader(TrainLoader):
 
         h0 = max(c.shape[1] for c in clips)
         w0 = max(c.shape[2] for c in clips)
-        img_arr = np.zeros((cfg.batch_size, f, h0, w0, 3), np.uint8)
+        img_arr = np.zeros((cfg.batch_size, self.n_frames, h0, w0, 3),
+                           np.uint8)
         for bi, c in enumerate(clips):
             img_arr[bi, :, :c.shape[1], :c.shape[2]] = c
-
-        gt_batch = pad_gt_batch(gts_list, p2s, scales, list(cfg.lbls),
-                                list(cfg.ilbls), cfg.min_gt_vis, cfg.min_gt_h,
-                                max_gts=cfg.max_gts, max_igns=cfg.max_igns,
-                                n3d_cols=self._n3d_cols)
-        return {"images_u8": img_arr,
-                "mirror": np.asarray(mirrors, bool),
-                "gt": gt_batch}
+        return self._finish_batch(img_arr, gts_list, p2s, scales, mirrors)
 
     def _load_image_path(self, path):
         from PIL import Image

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -313,7 +311,15 @@ def nms_and_topk(dets, scores, cfg: DetectConfig, presorted: bool = False):
                 group_boxes=cfg.diff_nms_group_boxes,
                 mask_group_boxes=cfg.diff_nms_mask_group_boxes,
                 group_size=cfg.diff_nms_group_size)
-            return jnp.where(res.keep, vals, -1.0), d
+            # rank survivors by the RESCORED non-suppression probability:
+            # the reference's keep_inds come back ordered by descending
+            # rescored value and the writer truncates to nms_topN_post in
+            # that order (lib/groomed_nms.py:120-127, lib/rpn_util.py:1341,
+            # 1422) -- ranking by the original score would keep a
+            # different top-k whenever >topN_post boxes survive.  The
+            # WRITTEN score stays the original (d's score column),
+            # matching the reference (scores_new is never folded back).
+            return jnp.where(res.keep, res.rescored, -1.0), d
 
         keep_score, d = jax.vmap(per_image)(d, vals)
     else:
@@ -398,17 +404,24 @@ def write_kitti_detections(path, dets, valid, class_names,
         f.write("\n".join(lines) + ("\n" if lines else ""))
 
 
-def write_kitti_tracks(path, tracks, scale, score_thres=0.6,
-                       class_name="Car"):
+def write_kitti_tracks(path, tracks, score_thres=0.6, class_name="Car"):
     """Write one clip's final smoothed tracks in KITTI result format.
 
     Shared by scripts/test_kalman.py and scripts/serve.py (video
-    artifacts).  The fused state X is [x y z w3d h3d l3d theta head vel];
-    box2d is in network pixels (mapped back through ``scale``); the score
-    is the 2D score fused with the track confidence; ry comes from theta
-    plus the heading flip, and y is re-grounded by h3d/2 -- the same
-    layout the reference's video eval writes
-    (/root/reference/scripts/test_kalman.py:151-216).
+    artifacts).  The fused state X is [x y z w3d h3d l3d theta head vel].
+    ``tracks.box2d`` is ALREADY in original-image pixels
+    (extract_measurements descales by /scale like the reference's
+    clean_and_denorm, models/video.py:91, and the forecast refresh
+    projects through the original-resolution P2) and ``tracks.un``
+    ALREADY folds the 2D score (un = uncertainty * score, kalman.py:283
+    = the reference's tracks.bbox_un,
+    models/densenet121_3d_dilate_decomp_alpha_un_kalman.py:353), so both
+    are written raw: score = un (the reference's ``use_un_for_score``)
+    gated at un > score_thres, boxes undivided -- exactly the reference
+    video writer (lib/rpn_util.py:1690-1812).  A review round caught the
+    earlier writer dividing box2d by scale again and multiplying the
+    score back in (shrunken boxes, squared scores).  ry comes from theta
+    plus the heading flip; y is re-grounded by h3d/2.
     """
     valid = np.asarray(tracks.valid)
     xs = np.asarray(tracks.X)
@@ -420,10 +433,10 @@ def write_kitti_tracks(path, tracks, scale, score_thres=0.6,
         ry = theta + (np.pi if head >= 0.5 else 0.0)
         ry = np.arctan2(np.sin(ry), np.cos(ry))
         alpha = float(rot_y_to_alpha(ry, z, x))
-        score = box2d[ti, 4] * un[ti]
+        score = un[ti]
         if score <= score_thres:
             continue
-        x1, y1, x2, y2 = box2d[ti, :4] / scale
+        x1, y1, x2, y2 = box2d[ti, :4]
         lines.append(
             f"{class_name} -1 -1 {alpha:.6f} {x1:.6f} {y1:.6f} {x2:.6f} "
             f"{y2:.6f} {h3:.6f} {w3:.6f} {l3:.6f} {x:.6f} "

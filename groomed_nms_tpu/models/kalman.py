@@ -129,8 +129,7 @@ def project_ego(tracks: Tracks, pose_dn, p2) -> Tracks:
     cx, sx = jnp.cos(rx), jnp.sin(rx)
     cy, sy = jnp.cos(ry), jnp.sin(ry)
     cz, sz = jnp.cos(rz), jnp.sin(rz)
-    rot_x = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]]) * 0 + jnp.array(
-        [[1.0, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    rot_x = jnp.array([[1.0, 0, 0], [0, cx, -sx], [0, sx, cx]])
     rot_y = jnp.array([[cy, 0.0, sy], [0, 1, 0], [-sy, 0, cy]])
     rot_z = jnp.array([[cz, -sz, 0.0], [sz, cz, 0], [0, 0, 1]])
     rot = rot_z @ rot_y @ rot_x
@@ -185,8 +184,19 @@ def _greedy_match(cost, pair_ok, thresh, minimize, match_t, used_m):
     return match_t, used_m
 
 
-def associate_tracks(tracks: Tracks, meas, meas_valid, best_thresh=0.35):
-    """Two-phase greedy association. Returns (match_t [T] int, used_m [M])."""
+def associate_tracks(tracks: Tracks, meas, meas_valid, best_thresh=0.35,
+                     match_dist=MATCH_DIST):
+    """Two-phase greedy association. Returns (match_t [T] int, used_m [M]).
+
+    ``match_dist`` gates phase 1 (3D-center distance).  NOTE a reference
+    quirk this port deliberately does NOT reproduce: the reference
+    initialises ``match_thres = 0.5`` once per ``associate_tracks`` call
+    but overwrites it with ``best_thresh`` before the IoU phase INSIDE its
+    per-batch-element loop (kalman.py:457-515), so every element after the
+    first runs the distance phase at ``best_thresh`` (0.35) -- in its
+    batched eval that is almost every record.  Here every clip uses the
+    intended 0.5 (= the reference's first element); pass
+    ``match_dist=best_thresh`` to reproduce the leaked behaviour."""
     t = tracks.valid.shape[0]
     m = meas.shape[0]
     pair_ok = tracks.valid[:, None] & meas_valid[None, :]
@@ -195,7 +205,7 @@ def associate_tracks(tracks: Tracks, meas, meas_valid, best_thresh=0.35):
         (meas[None, :, 6:9] - tracks.X[:, None, :3]) ** 2, axis=-1))
     match_t = jnp.full((t,), -1, jnp.int32)
     used_m = jnp.zeros((m,), bool)
-    match_t, used_m = _greedy_match(dist, pair_ok, MATCH_DIST, True,
+    match_t, used_m = _greedy_match(dist, pair_ok, match_dist, True,
                                     match_t, used_m)
 
     ols = pairwise_iou(tracks.box2d[:, :4], meas[:, :4])
@@ -218,7 +228,9 @@ def update_tracks(tracks: Tracks, meas, meas_valid, match_t) -> Tracks:
     un_meas = z_meas[:, 14] * z_meas[:, 4]
     un_pre = tracks.un
 
-    # C_pre += eye + (1 - un_pre) at (0,0)   [the reference's += quirk]
+    # process-noise add: C_pre += diag(1 - un_pre) over ALL 9 state vars
+    # (reference kalman.py:632; pinned by the round-3 kalman differential
+    # -- see make_covariance's docstring for the transcription history)
     c_pre = tracks.C + make_covariance(1.0 - un_pre, n_diag=9)
     r = make_covariance(LAMBDA_O * (1.0 - un_meas), size=8)
 
@@ -268,8 +280,6 @@ def add_unused_measurements(tracks: Tracks, meas, meas_valid,
 
     # slot t takes the measurement whose new_rank equals its free_rank
     want = jnp.where(~tracks.valid & (free_rank < n_new), free_rank, -1)
-    # meas index for each rank
-    m_idx_by_rank = jnp.full((t,), 0, jnp.int32)
     order = jnp.argsort(jnp.where(new_mask, new_rank, meas.shape[0] + 1))
     m_sorted = order[:t] if t <= meas.shape[0] else jnp.pad(
         order, (0, t - meas.shape[0]))
@@ -296,13 +306,15 @@ def add_unused_measurements(tracks: Tracks, meas, meas_valid,
 
 
 def track_step(tracks: Tracks, meas, meas_valid, pose_dn, p2,
-               best_thresh=0.35, apply_pose=True) -> Tracks:
+               best_thresh=0.35, apply_pose=True,
+               match_dist=MATCH_DIST) -> Tracks:
     """One full tracker step: ego-project -> forecast -> associate ->
     update -> spawn.  Uniform across frames (frame 0 = empty tracks)."""
     if apply_pose:
         tracks = project_ego(tracks, pose_dn, p2)
     tracks = forecast_tracks(tracks, p2)
-    match_t, used_m = associate_tracks(tracks, meas, meas_valid, best_thresh)
+    match_t, used_m = associate_tracks(tracks, meas, meas_valid, best_thresh,
+                                       match_dist)
     tracks = update_tracks(tracks, meas, meas_valid, match_t)
     tracks = add_unused_measurements(tracks, meas, meas_valid, used_m)
     return tracks

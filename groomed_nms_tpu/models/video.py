@@ -37,6 +37,11 @@ class VideoConfig:
     score_thres: float = 0.6
     nms_thres: float = 0.4
     best_thresh: float = 0.35
+    # phase-1 association distance (m).  0.5 is the reference's intended
+    # value; its batched eval leaks best_thresh into this for every record
+    # after the first (see kalman.associate_tracks) -- set 0.35 to
+    # reproduce that behaviour
+    match_dist: float = 0.5
 
 
 class VideoOutputs(NamedTuple):
@@ -180,7 +185,8 @@ def video_track(meas_frames, valid_frames, poses_dn, p2, cfg: VideoConfig,
         tracks = track_step(tracks, meas, valid,
                             jnp.where(frame_idx > 0, pose,
                                       jnp.zeros_like(pose)),
-                            p2, best_thresh=bt, apply_pose=True)
+                            p2, best_thresh=bt, apply_pose=True,
+                            match_dist=cfg.match_dist)
         return (tracks, frame_idx + 1), tracks
 
     init = (Tracks.empty(cfg.max_tracks), jnp.zeros((), jnp.int32))

@@ -116,7 +116,7 @@ def main():
             stem = os.path.splitext(os.path.basename(path))[0]
             write_kitti_tracks(
                 os.path.join(args.out, stem + ".txt"),
-                tracks, scales[-1], score_thres=score_thres,
+                tracks, score_thres=score_thres,
                 class_name=class_names[0])
         log.info("wrote %d track files to %s", len(paths), args.out)
         return

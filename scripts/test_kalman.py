@@ -123,7 +123,7 @@ def main():
 
         write_kitti_tracks(
             os.path.join(results_dir, "data", rec.id + ".txt"), tracks,
-            scale, score_thres=cfg.score_thres)
+            score_thres=cfg.score_thres)
         n_done += 1
         if n_done % 200 == 0:
             log.info("tracked %d/%d", n_done, len(imdb))

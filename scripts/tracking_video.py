@@ -125,7 +125,10 @@ def main():
         box2d = np.asarray(tracks.box2d)
         for ti in np.flatnonzero(valid):
             mph = abs(xs[ti, 8]) * KITTI_FPS * MS_TO_MPH
-            draw_2d_box(ax_im, box2d[ti, :4] / scale,
+            # box2d is already in original-image pixels (the measurement
+            # decode descales by /scale; the 3D overlay below uses the
+            # original-resolution P2 for the same reason)
+            draw_2d_box(ax_im, box2d[ti, :4],
                         text=f"id{int(tracks.ids[ti])} {mph:.0f}mph")
             draw_3d_box(ax_im, p2, xs[ti, 0], xs[ti, 1], xs[ti, 2],
                         xs[ti, 3], xs[ti, 4], xs[ti, 5], xs[ti, 6])

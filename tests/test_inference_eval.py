@@ -114,6 +114,44 @@ def test_groomed_nms_path_runs(decode_setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_groomed_nms_topk_ranks_by_rescored_value():
+    """With more rescore-threshold survivors than nms_topN_post slots, the
+    truncation must follow the DESCENDING RESCORED value: the reference's
+    keep_inds come back rescored-sorted and the writer takes the first
+    topN_post rows (lib/groomed_nms.py:120-127, lib/rpn_util.py:1341,1422),
+    while the written scores stay the ORIGINAL fused scores (scores_new is
+    never folded back).  Ranking by original score instead keeps a
+    different set (review r3)."""
+    r = 32
+    dets = np.zeros((1, r, 17), np.float32)
+    scores = np.zeros((1, r), np.float32)
+    dets[0, :, :4] = [900, 900, 920, 920]       # zero-score dummies
+    # box 0: top score, isolated.  box 1: 2nd-highest score, overlaps box 0
+    # above nms_thres -> rescored well below box 2 but still >= the 0.3
+    # keep threshold.  box 2: isolated -> rescored == its own score.
+    dets[0, 0, :4] = [10, 10, 110, 110]
+    dets[0, 1, :4] = [48, 10, 148, 110]         # IoU vs box 0 ~ 0.45
+    dets[0, 2, :4] = [300, 10, 400, 110]
+    scores[0, [0, 1, 2]] = [0.9, 0.8, 0.78]
+    dets[0, :, 4] = scores[0]
+
+    base = dict(nms_topN_pre=32, nms_thres=0.4,
+                use_differentiable_nms=True, diff_nms_boxes=32)
+    # all three survive the rescore threshold...
+    out3, valid3 = nms_and_topk(jnp.asarray(dets), jnp.asarray(scores),
+                                DetectConfig(nms_topN_post=3, **base))
+    kept3 = sorted(np.asarray(out3[0])[np.asarray(valid3[0]), 4],
+                   reverse=True)
+    np.testing.assert_allclose(kept3, [0.9, 0.8, 0.78], atol=1e-6)
+    # ...but with 2 slots the suppressed box 1 (lower rescored value) must
+    # lose to box 2, despite its higher original score
+    out2, valid2 = nms_and_topk(jnp.asarray(dets), jnp.asarray(scores),
+                                DetectConfig(nms_topN_post=2, **base))
+    kept2 = sorted(np.asarray(out2[0])[np.asarray(valid2[0]), 4],
+                   reverse=True)
+    np.testing.assert_allclose(kept2, [0.9, 0.78], atol=1e-6)
+
+
 def _gt_line(cls, x1, y1, x2, y2, h, w, l, x, y, z, ry, occ=0, trunc=0.0):
     alpha = ry - np.arctan2(x, z)
     return (f"{cls} {trunc} {occ} {alpha:.4f} {x1:.2f} {y1:.2f} {x2:.2f} "

@@ -180,3 +180,53 @@ def test_pose_loss():
     # r term zero (reference Pose_loss semantics, lambdas default to 1)
     np.testing.assert_allclose(float(loss), 0.2 / 3, atol=1e-6)
     assert "t_err" in stats and "r_err" in stats
+
+
+def test_write_kitti_tracks_reference_semantics(tmp_path):
+    """The track writer must mirror the reference's video writer
+    (lib/rpn_util.py:1690-1812 with use_un_for_score): score = tracks.un
+    RAW (un already folds the 2D score, = the reference's bbox_un), gate
+    un > score_thres, and box2d written UNDIVIDED (it is already in
+    original-image pixels).  Review r3 caught the writer dividing by
+    scale again and multiplying the score back in."""
+    from groomed_nms_tpu.inference import write_kitti_tracks
+    from groomed_nms_tpu.ops.geometry import rot_y_to_alpha
+
+    t = 4
+    tr = Tracks.empty(t)
+    x = jnp.zeros((t, 9))
+    x = x.at[0].set(jnp.asarray([2.0, 1.0, 20.0, 1.6, 1.5, 3.9, 0.3, 0.0,
+                                 4.0]))
+    x = x.at[1].set(jnp.asarray([-3.0, 1.1, 30.0, 1.5, 1.4, 3.5, -0.2, 1.0,
+                                 2.0]))
+    box2d = jnp.zeros((t, 6))
+    box2d = box2d.at[0, :5].set(jnp.asarray([100.0, 80.0, 220.0, 160.0,
+                                             0.8]))
+    box2d = box2d.at[1, :5].set(jnp.asarray([400.0, 90.0, 500.0, 150.0,
+                                             0.9]))
+    tr = tr._replace(
+        valid=jnp.asarray([True, True, True, False]),
+        X=x, box2d=box2d,
+        # track 0 passes the gate; track 1 is exactly at the 0.65
+        # threshold (reference gate is strict >); track 2 is valid but
+        # below; track 3 has high un but is an empty slot
+        un=jnp.asarray([0.7, 0.65, 0.2, 0.99]))
+
+    path = tmp_path / "000000.txt"
+    write_kitti_tracks(str(path), tr, score_thres=0.65)
+    rows = [ln.split() for ln in path.read_text().splitlines()]
+    assert len(rows) == 1, rows
+
+    vals = np.array([float(v) for v in rows[0][1:]])
+    # score column = un raw (NOT un * 2D score = 0.56)
+    np.testing.assert_allclose(vals[-1], 0.7, atol=1e-6)
+    # 2D box written in original pixels, undivided
+    np.testing.assert_allclose(vals[3:7], [100.0, 80.0, 220.0, 160.0],
+                               atol=1e-6)
+    # 3D tail: ry = theta (head < 0.5), y re-grounded by h3d/2
+    np.testing.assert_allclose(vals[7:10], [1.5, 1.6, 3.9], atol=1e-6)
+    np.testing.assert_allclose(vals[10:13], [2.0, 1.0 + 1.5 / 2, 20.0],
+                               atol=1e-6)
+    np.testing.assert_allclose(vals[13], 0.3, atol=1e-6)
+    np.testing.assert_allclose(
+        vals[2], float(rot_y_to_alpha(0.3, 20.0, 2.0)), atol=1e-5)
