@@ -215,8 +215,14 @@ def compute_targets(rois, rois_3d, gts_2d, gts_3d, gt_labels, gt_valid,
     ols_ign = jnp.where(ign_valid[None, :], ols_ign, 0.0)
     ign_mask = ols_ign.max(axis=1) >= ign_thresh if ign_2d.shape[0] else jnp.zeros((r,), bool)
 
+    # background window uses ols_max (0 when no valid GT, matching the
+    # reference's zero-filled ols_max); ignore-region exclusion applies
+    # whenever valid OR ignore GTs exist -- only an image with neither is
+    # all-background (lib/rpn_util.py:436, 505-525)
+    any_ign = jnp.any(ign_valid) if ign_2d.shape[0] else jnp.asarray(False)
     bg_mask = (ols_max >= bg_thresh_lo) & (ols_max < bg_thresh_hi)
-    bg_mask = jnp.where(any_gt, bg_mask & ~ign_mask & ~fg_mask & ~is_best,
+    bg_mask = jnp.where(any_gt | any_ign,
+                        bg_mask & ~ign_mask & ~fg_mask & ~is_best,
                         jnp.ones((r,), bool))
 
     # row-select the argmax GT via a one-hot contraction instead of a
@@ -246,17 +252,24 @@ def compute_targets(rois, rois_3d, gts_2d, gts_3d, gt_labels, gt_valid,
     t2d = bbox_transform(boxes, tgt_2d_box)
     t3d = bbox_transform_3d(boxes, rois_3d, tgt_3d_row,
                             decomp_alpha=decomp_alpha, has_vel=has_vel)
-    fg_f = fg_mask[:, None].astype(t2d.dtype)
+    # zero non-fg rows with `where`, NOT multiplication: t3d carries -inf
+    # (log(0) dims from the zero-padded GT row every anchor selects on a
+    # no-valid-GT image, and the -inf no-velocity sentinel), and
+    # 0 * -inf = NaN targets poison gradients of every loss term they feed
+    # even under masked means (the VJP of |pred - NaN| is NaN before the
+    # mask's zero cotangent multiplies in). The reference writes fg rows
+    # only, leaving the rest exactly 0 (lib/rpn_util.py:427-497).
+    fg_col = fg_mask[:, None]
     return Targets(
         labels=labels,
-        transforms_2d=t2d * fg_f,
-        transforms_3d=t3d * fg_f,
+        transforms_2d=jnp.where(fg_col, t2d, 0.0),
+        transforms_3d=jnp.where(fg_col, t3d, 0.0),
         gt_index=gt_index,
         fg_mask=fg_mask,
         bg_mask=bg_mask,
         ols_max=ols_max,
-        raw_gt_2d=tgt_2d_box * fg_f,
-        raw_gt_3d=tgt_3d_row * fg_f,
+        raw_gt_2d=jnp.where(fg_col, tgt_2d_box, 0.0),
+        raw_gt_3d=jnp.where(fg_col, tgt_3d_row, 0.0),
     )
 
 

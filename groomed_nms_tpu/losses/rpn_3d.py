@@ -144,6 +144,27 @@ class LossConfig:
             raise ValueError("has_vel=True requires decomp_alpha=True "
                              "(velocity targets are laid out after the "
                              "alpha sin/cos columns)")
+        # fail loudly on acceptance-branch modes this loss does not train,
+        # instead of silently skipping the term (a config that asks for
+        # them would otherwise train a dead head with zero gradient):
+        # - 'classify' needs the ordinal-bin targets of the reference's
+        #   unshipped path (lib/loss/rpn_3d.py:647-705); no shipped config
+        #   uses it (all set mode='likelihood').
+        # - boxes_for_acceptance_prob 'all'/'overlaps' select a different
+        #   active set (lib/loss/rpn_3d.py:1005-1012; the reference's 'all'
+        #   branch is itself broken for batch>1 -- it indexes only the
+        #   first R rows of the flattened B*R tensor).
+        if self.predict_acceptance_prob and self.acceptance_prob_lambda:
+            if self.acceptance_prob_mode == "classify":
+                raise NotImplementedError(
+                    "acceptance_prob_mode='classify' is not implemented "
+                    "(unshipped in the reference; use 'likelihood', "
+                    "'rank' or 'regress')")
+            if self.boxes_for_acceptance_prob != "foregrounds":
+                raise NotImplementedError(
+                    f"boxes_for_acceptance_prob="
+                    f"{self.boxes_for_acceptance_prob!r} is not implemented "
+                    "(every shipped reference config uses 'foregrounds')")
 
 
 def _smooth_l1(x, t):
@@ -375,7 +396,10 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
     # acceptance-prob targets: elementwise IoU3D(pred, assigned GT) on fg
     # (reference rpn_3d.py:646-705, "foregrounds" mode)
     # ------------------------------------------------------------------
-    need_accept_tar = (cfg.predict_acceptance_prob or cfg.use_nms_in_loss or
+    # (the NMS-in-loss branch computes its own after-NMS targets inside
+    # per_image and never reads accept_tar, so use_nms_in_loss alone does
+    # not require this block)
+    need_accept_tar = (cfg.predict_acceptance_prob or
                        cfg.weigh_3D_regression_loss_by_gt_iou3d)
     accept_tar = jnp.zeros((b, r))
     if need_accept_tar:
@@ -395,11 +419,18 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
         elif cfg.acceptance_prob_mode == "regress":
             lp = jnp.abs(accept_prob - jax.lax.stop_gradient(accept_tar))
         elif cfg.acceptance_prob_mode == "rank":
+            # the reference ranks ALL fg boxes of the batch in ONE AP loss
+            # over the flattened [B*R] tensors (lib/loss/rpn_3d.py:1014-1016,
+            # 1046-1056), optionally folding class confidence into the
+            # ranked score; -1 targets mark non-fg boxes invalid for APLoss
+            ap_scores = accept_prob
+            if cfg.rank_with_class_confidence:
+                ap_scores = ap_scores * jnp.max(prob[..., 1:], axis=-1)
             rank_tar = jnp.where(accept_tar >= 0.6, 1.0, 0.0)
             rank_tar = jnp.where(fg_sel, rank_tar, -1.0)
             lp = None
-            ap_vals = jax.vmap(ap_loss)(accept_prob, rank_tar)
-            loss_ap = jnp.mean(ap_vals) * cfg.acceptance_prob_lambda
+            loss_ap = ap_loss(ap_scores.reshape(-1), rank_tar.reshape(-1)) \
+                * cfg.acceptance_prob_lambda
         else:
             raise NotImplementedError(cfg.acceptance_prob_mode)
         if cfg.acceptance_prob_mode in ("likelihood", "regress"):
@@ -421,8 +452,8 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
             scores_nms = jnp.max(prob[..., 1:], axis=-1)
 
         def per_image(scores_img, fg_img, coords_img, x3, y3, z3, w3, h3, l3,
-                      ry3, g2, g3, gv, sc):
-            k = cfg.max_nms_boxes
+                      ry3, g2, g3, gv):
+            k = min(cfg.max_nms_boxes, r)   # tiny feature maps: R < cfg cap
             key = jnp.where(fg_img, scores_img, -jnp.inf)
             vals, idx = jax.lax.top_k(key, k)
             valid = vals > -jnp.inf
@@ -475,13 +506,13 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
         scores_after, targets_after = jax.vmap(per_image)(
             scores_nms, fg_sel, coords_2d, x3d_raw_d, y3d_raw_d, z3d_raw_d,
             w3d_raw_d, h3d_raw_d, l3d_raw_d, ry3d_raw,
-            batch.gts_2d, batch.gts_3d, batch.gt_valid, batch.scale)
+            batch.gts_2d, batch.gts_3d, batch.gt_valid)
 
         if cfg.after_nms_lambda:
             if cfg.after_nms_loss_mode == "rank":
                 def gather_ap(sa, ta, fg_img, sc_img):
                     key = jnp.where(fg_img, sc_img, -jnp.inf)
-                    _, idx = jax.lax.top_k(key, cfg.max_ap_boxes)
+                    _, idx = jax.lax.top_k(key, min(cfg.max_ap_boxes, r))
                     valid = jnp.take(key, idx) > -jnp.inf
                     logits = jnp.where(valid, sa[idx], 0.0)
                     targets = jnp.where(valid, ta[idx], -1.0)

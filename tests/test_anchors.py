@@ -222,3 +222,44 @@ def test_has_vel_rejects_seven_column_priors():
     out = bbox_transform_3d(rois_2d, jnp.ones((1, 8)), gt,
                             decomp_alpha=True, has_vel=True)
     assert out.shape[-1] == 20
+
+
+def test_compute_targets_no_valid_gt_keeps_ignore_exclusion():
+    """An image whose only objects are ignore-class (Van/DontCare): the
+    reference still excludes ignore-overlapping anchors from background
+    (lib/rpn_util.py:505-517 runs whenever valid OR ignore GTs exist; the
+    all-background branch fires only with neither). Regression: the
+    no-valid-GT branch used to force every anchor to background, training
+    the net to suppress ignored objects."""
+    _, rois, rois_3d = _setup_targets()
+    ign = np.array([[0, 0, 64, 64]], np.float32)   # covers everything
+    tgt = compute_targets(
+        rois, rois_3d,
+        jnp.zeros((1, 4)), jnp.zeros((1, 16)), jnp.array([1.0]),
+        jnp.array([False]),                          # NO valid GTs
+        jnp.asarray(ign), jnp.array([True]),
+        fg_thresh=0.5, ign_thresh=0.5, bg_thresh_lo=0.0, bg_thresh_hi=0.5,
+        best_thresh=0.35)
+    labels = np.asarray(tgt.labels)
+    assert (labels == 0).sum() > 0          # ignored anchors exist
+    assert not np.asarray(tgt.fg_mask).any()
+    # anchors overlapping the full-image ignore region are NOT background
+    ign_anchors = np.asarray(tgt.bg_mask) & (labels == 0)
+    assert not ign_anchors.any()
+
+
+def test_compute_targets_no_valid_gt_transforms_finite():
+    """No-valid-GT image: every anchor's argmax lands on a zero-padded GT
+    row whose log-dim deltas are -inf; the masked-out transforms must be
+    exactly 0, not NaN (regression: `t3d * fg_f` produced 0 * -inf)."""
+    _, rois, rois_3d = _setup_targets()
+    tgt = compute_targets(
+        rois, rois_3d,
+        jnp.zeros((1, 4)), jnp.zeros((1, 16)), jnp.array([1.0]),
+        jnp.array([False]), jnp.zeros((1, 4)), jnp.array([False]),
+        fg_thresh=0.5, ign_thresh=0.5, bg_thresh_lo=0.0, bg_thresh_hi=0.5,
+        best_thresh=0.35)
+    for name in ("transforms_2d", "transforms_3d", "raw_gt_2d", "raw_gt_3d"):
+        arr = np.asarray(getattr(tgt, name))
+        assert np.isfinite(arr).all(), name
+        np.testing.assert_array_equal(arr, 0.0, err_msg=name)

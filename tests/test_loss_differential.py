@@ -450,3 +450,144 @@ def test_self_balancing_un_path_matches_reference(ref):
         np.testing.assert_allclose(o_loss, r_loss, rtol=3e-4, atol=1e-5)
         np.testing.assert_allclose(o_g3, r_g3, rtol=2e-3, atol=1e-5,
                                    err_msg=f"step={step_i} grad bbox_3d+un")
+
+
+def _run_reference_accept(ref, case, conf, accept):
+    """Reference run with the acceptance-prob head threaded through."""
+    t_cls = torch.from_numpy(case["cls"].copy()).requires_grad_(True)
+    t_b2 = torch.from_numpy(case["bbox_2d"].copy()).requires_grad_(True)
+    t_b3 = torch.from_numpy(case["bbox_3d"].copy()).requires_grad_(True)
+    t_ap = torch.from_numpy(accept[..., None].copy()).requires_grad_(True)
+    t_prob = torch.softmax(t_cls, dim=-1)
+    rois_t = torch.from_numpy(np.tile(case["rois"][None], (B, 1, 1)).copy())
+    rois3d_t = torch.from_numpy(
+        np.tile(case["rois_3d_full"][None], (B, 1, 1)).copy())
+    cen_t = torch.from_numpy(np.tile(case["cen"][None], (B, 1, 1)).copy())
+    crit = ref.RPN_3D_loss(conf, verbose=True)
+    loss, stats = crit(t_cls * 1.0, t_prob, t_b2 * 1.0, t_b3 * 1.0,
+                       case["imobjs"], [FH, FW], rois=rois_t,
+                       rois_3d=rois3d_t, rois_3d_cen=cen_t,
+                       bbox_acceptance_prob=t_ap * 1.0)
+    loss.backward()
+    sv = {s["name"]: float(np.asarray(s["val"])) for s in stats}
+    return (float(loss.item()), sv, t_ap.grad.numpy()[..., 0],
+            t_b3.grad.numpy())
+
+
+def _run_ours_accept(case, lcfg, accept):
+    import jax
+    import jax.numpy as jnp
+    from groomed_nms_tpu.losses.rpn_3d import (GTBatch, UncertaintyState,
+                                               rpn_3d_loss)
+    batch = GTBatch(
+        gts_2d=jnp.asarray(case["gts_2d"]),
+        gts_3d=jnp.asarray(case["gts_3d"]),
+        gt_labels=jnp.asarray(case["gt_labels"]),
+        gt_valid=jnp.asarray(case["gt_valid"]),
+        ign_2d=jnp.asarray(case["ign_2d"]),
+        ign_valid=jnp.asarray(case["ign_valid"]),
+        p2=jnp.asarray(np.tile(case["p2"][None], (B, 1, 1))),
+        scale=jnp.ones((B,), jnp.float32))
+    rois = jnp.asarray(case["rois"])
+    rois_3d = jnp.asarray(case["rois_3d_full"][:, 4:])
+
+    def fn(ap, b3):
+        outputs = {"cls": jnp.asarray(case["cls"]),
+                   "prob": jax.nn.softmax(jnp.asarray(case["cls"]), -1),
+                   "bbox_2d": jnp.asarray(case["bbox_2d"]),
+                   "bbox_3d": b3, "accept_prob": ap, "uncertainty": None}
+        loss, stats, _ = rpn_3d_loss(outputs, rois, rois_3d, batch,
+                                     case["means"], case["stds"],
+                                     UncertaintyState.init(), lcfg)
+        return loss, stats
+    (loss, stats), (g_ap, g_b3) = jax.value_and_grad(
+        fn, argnums=(0, 1), has_aux=True)(
+        jnp.asarray(accept), jnp.asarray(case["bbox_3d"]))
+    return (float(loss), {k: float(v) for k, v in stats.items()},
+            np.asarray(g_ap), np.asarray(g_b3))
+
+
+@pytest.mark.parametrize("mode,rank_conf", [
+    ("likelihood", False), ("regress", False),
+    ("rank", False), ("rank", True)])
+def test_acceptance_prob_loss_matches_reference(ref, mode, rank_conf):
+    """The acceptance-prob branch, never differentially tested before:
+    likelihood (-log p, tar-weighted like the shipped configs), regress
+    (L1 vs the IoU3D target), and rank (ONE global AP loss over all fg
+    boxes of the flattened batch, lib/loss/rpn_3d.py:1014-1056, optionally
+    folding class confidence into the ranked score)."""
+    from groomed_nms_tpu.losses import LossConfig
+    rng = np.random.default_rng(123 + (mode == "rank") + rank_conf)
+    ref_name = {"likelihood": "bbox_prob_nll", "regress": "bbox_prob_reg",
+                "rank": "bbox_prob_rank"}[mode]
+    for case_i in range(3):
+        case = _make_case(rng, with_ign=False)
+        accept = rng.uniform(0.05, 0.95, (B, R)).astype(np.float32)
+        over = dict(bbox_2d_lambda=0.0, predict_acceptance_prob=True,
+                    acceptance_prob_lambda=0.3, acceptance_prob_mode=mode,
+                    boxes_for_acceptance_prob="foregrounds",
+                    weigh_acceptance_prob_regularization=(
+                        mode == "likelihood"),
+                    rank_with_class_confidence=rank_conf,
+                    use_acceptance_prob_in_regression_loss=False)
+        conf = _make_conf(case["anchors"], case["means"], case["stds"],
+                          **over)
+        r_loss, r_stats, r_gap, r_g3 = _run_reference_accept(
+            ref, case, conf, accept)
+
+        lcfg = LossConfig(
+            num_classes=C, fg_fraction=0.2, box_samples=0.0,
+            hard_negatives=True, cls_2d_lambda=1.0, iou_2d_lambda=1.0,
+            bbox_2d_lambda=0.0, bbox_3d_lambda=1.0,
+            bbox_axis_head_lambda=0.35, decomp_alpha=True,
+            predict_acceptance_prob=True, acceptance_prob_lambda=0.3,
+            acceptance_prob_mode=mode,
+            weigh_acceptance_prob_regularization=(mode == "likelihood"),
+            rank_with_class_confidence=rank_conf)
+        o_loss, o_stats, o_gap, o_g3 = _run_ours_accept(case, lcfg, accept)
+
+        np.testing.assert_allclose(
+            o_stats["bbox_prob"], r_stats[ref_name], rtol=2e-4, atol=1e-5,
+            err_msg=f"case={case_i} mode={mode} conf={rank_conf}")
+        np.testing.assert_allclose(o_loss, r_loss, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(o_gap, r_gap, rtol=1e-3, atol=1e-6,
+                                   err_msg=f"case={case_i} grad accept")
+        np.testing.assert_allclose(o_g3, r_g3, rtol=1e-3, atol=1e-5,
+                                   err_msg=f"case={case_i} grad bbox_3d")
+
+
+def test_acceptance_prob_in_regression_weighting_matches_reference(ref):
+    """use_acceptance_prob_in_regression_loss=True (shipped GrooMeD
+    configs): every 3D term is multiplied by the acceptance prob, which is
+    how the head actually trains with the shipped acceptance_prob_lambda=0
+    (scripts/config/groumd_nms.py:42,64)."""
+    from groomed_nms_tpu.losses import LossConfig
+    rng = np.random.default_rng(321)
+    for case_i in range(3):
+        case = _make_case(rng, with_ign=False)
+        accept = rng.uniform(0.05, 0.95, (B, R)).astype(np.float32)
+        conf = _make_conf(case["anchors"], case["means"], case["stds"],
+                          bbox_2d_lambda=0.0, predict_acceptance_prob=True,
+                          acceptance_prob_lambda=0,
+                          boxes_for_acceptance_prob="foregrounds",
+                          acceptance_prob_mode="likelihood",
+                          use_acceptance_prob_in_regression_loss=True,
+                          weigh_acceptance_prob_regularization=True)
+        r_loss, r_stats, r_gap, r_g3 = _run_reference_accept(
+            ref, case, conf, accept)
+        lcfg = LossConfig(
+            num_classes=C, fg_fraction=0.2, box_samples=0.0,
+            hard_negatives=True, cls_2d_lambda=1.0, iou_2d_lambda=1.0,
+            bbox_2d_lambda=0.0, bbox_3d_lambda=1.0,
+            bbox_axis_head_lambda=0.35, decomp_alpha=True,
+            predict_acceptance_prob=True, acceptance_prob_lambda=0.0,
+            acceptance_prob_mode="likelihood",
+            use_acceptance_prob_in_regression_loss=True,
+            weigh_acceptance_prob_regularization=True)
+        o_loss, o_stats, o_gap, o_g3 = _run_ours_accept(case, lcfg, accept)
+        np.testing.assert_allclose(o_stats["bbox_3d"], r_stats["bbox_3d"],
+                                   rtol=2e-4, atol=1e-5,
+                                   err_msg=f"case={case_i}")
+        np.testing.assert_allclose(o_loss, r_loss, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(o_gap, r_gap, rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(o_g3, r_g3, rtol=1e-3, atol=1e-5)

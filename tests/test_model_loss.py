@@ -207,3 +207,66 @@ def test_virtual_concat_trunk_matches_plain_path():
                                rtol=1e-2)
     for a, b in zip(jtu.tree_leaves(mv), jtu.tree_leaves(mo)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2)
+
+def test_loss_gradients_finite_with_no_valid_gt_image(tiny_setup):
+    """A batch containing an image with zero valid GTs must yield finite
+    gradients for every head (regression: the zero-padded GT row's
+    log(0) = -inf dim deltas became NaN targets via 0 * -inf masking and
+    poisoned the bbox_3d/accept gradients even through masked means)."""
+    out = tiny_setup["out"]
+    batch = _make_batch(tiny_setup["b"], np.random.default_rng(2), n_gt=0)
+    lcfg = LossConfig(use_nms_in_loss=True, predict_acceptance_prob=True,
+                      use_acceptance_prob_in_regression_loss=True,
+                      max_nms_boxes=64, max_ap_boxes=128)
+
+    def loss_fn(cls, b2, b3, ap):
+        outputs = {"cls": cls, "prob": jax.nn.softmax(cls, -1),
+                   "bbox_2d": b2, "bbox_3d": b3, "accept_prob": ap}
+        l, _, _ = rpn_3d_loss(outputs, tiny_setup["rois"],
+                              tiny_setup["rois_3d"], batch, jnp.zeros(13),
+                              jnp.ones(13), UncertaintyState.init(), lcfg)
+        return l
+
+    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(
+        out.cls, out.bbox_2d, out.bbox_3d, out.accept_prob)
+    assert np.isfinite(float(loss))
+    for name, g in zip(("cls", "bbox_2d", "bbox_3d", "accept_prob"), grads):
+        assert np.isfinite(np.asarray(g)).all(), name
+
+
+def test_loss_acceptance_rank_mode_finite(tiny_setup):
+    """Rank acceptance mode: ONE global AP loss over all fg boxes of the
+    batch (reference lib/loss/rpn_3d.py:1014-1016, 1046-1056)."""
+    lcfg = LossConfig(predict_acceptance_prob=True,
+                      acceptance_prob_mode="rank",
+                      acceptance_prob_lambda=0.1,
+                      max_nms_boxes=64, max_ap_boxes=128)
+    loss, stats, _ = _loss_for(tiny_setup, lcfg)
+    assert np.isfinite(float(loss))
+    assert "bbox_prob" in stats and np.isfinite(float(stats["bbox_prob"]))
+
+
+def test_loss_config_rejects_unimplemented_acceptance_modes():
+    """classify mode and non-foregrounds active sets are unshipped in the
+    reference; asking for them must fail loudly, not silently train a
+    dead acceptance head."""
+    with pytest.raises(NotImplementedError, match="classify"):
+        LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
+                   acceptance_prob_mode="classify")
+    with pytest.raises(NotImplementedError, match="foregrounds"):
+        LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
+                   boxes_for_acceptance_prob="all")
+    # harmless when the term is off
+    LossConfig(acceptance_prob_mode="classify")
+
+
+def test_loss_topk_clamped_to_small_feature_maps(tiny_setup):
+    """max_nms_boxes/max_ap_boxes larger than R must clamp, not crash at
+    trace time (tiny crops: R < the configured caps)."""
+    r = tiny_setup["rois"].shape[0]
+    lcfg = LossConfig(use_nms_in_loss=True, predict_acceptance_prob=True,
+                      best_target_box_beta=-10.0,
+                      max_nms_boxes=r + 64, max_ap_boxes=4 * r)
+    loss, stats, _ = _loss_for(tiny_setup, lcfg)
+    assert np.isfinite(float(loss))
+    assert "after_nms" in stats
