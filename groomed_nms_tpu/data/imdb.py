@@ -46,11 +46,20 @@ def build_imdb(root, split="training", ids=None, use_3d_for_2d=True,
     """Scan ``root/split/{image_2, calib, label_2}`` into ImageRecords.
 
     Mirrors the reference's imdb build (lib/imdb_util.py:117-176) including
-    its pickle caching (conf-independent parts only).
+    its pickle caching (conf-independent parts only).  Unlike the
+    reference, the cache is keyed on the build arguments: a cached imdb
+    built with a different split/ids/use_3d_for_2d is rebuilt, not
+    silently returned.
     """
+    meta = {"root": os.path.abspath(root), "split": split,
+            "ids": None if ids is None else tuple(ids),
+            "use_3d_for_2d": use_3d_for_2d, "im_ext": im_ext}
     if cache_file and os.path.exists(cache_file):
         with open(cache_file, "rb") as f:
-            return pickle.load(f)
+            cached = pickle.load(f)
+        if isinstance(cached, dict) and cached.get("meta") == meta:
+            return cached["imdb"]
+        # legacy list format or argument mismatch: rebuild
 
     image_dir = os.path.join(root, split, "image_2")
     calib_dir = os.path.join(root, split, "calib")
@@ -73,7 +82,7 @@ def build_imdb(root, split="training", ids=None, use_3d_for_2d=True,
     if cache_file:
         os.makedirs(os.path.dirname(cache_file), exist_ok=True)
         with open(cache_file, "wb") as f:
-            pickle.dump(imdb, f)
+            pickle.dump({"meta": meta, "imdb": imdb}, f)
     return imdb
 
 

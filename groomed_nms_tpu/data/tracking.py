@@ -183,9 +183,14 @@ def build_tracking_imdb(root, split="training", n_prev=3, use_3d_for_2d=True,
     ``<root>/raw_extra/<seq>/{pose.txt, label_2/}``, and ``train.txt`` /
     ``val.txt`` id lists.
     """
+    meta = {"root": os.path.abspath(root), "split": split, "n_prev": n_prev,
+            "use_3d_for_2d": use_3d_for_2d, "im_ext": im_ext}
     if cache_file and os.path.exists(cache_file):
         with open(cache_file, "rb") as f:
-            return pickle.load(f)
+            cached = pickle.load(f)
+        if isinstance(cached, dict) and cached.get("meta") == meta:
+            return cached["imdb"]
+        # legacy list format or argument mismatch: rebuild
 
     split_dir = os.path.join(root, split)
     image_dir = os.path.join(split_dir, "image_2")
@@ -252,5 +257,5 @@ def build_tracking_imdb(root, split="training", n_prev=3, use_3d_for_2d=True,
     if cache_file:
         os.makedirs(os.path.dirname(cache_file), exist_ok=True)
         with open(cache_file, "wb") as f:
-            pickle.dump(imdb, f)
+            pickle.dump({"meta": meta, "imdb": imdb}, f)
     return imdb

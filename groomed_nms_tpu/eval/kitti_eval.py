@@ -26,9 +26,10 @@ DIFFICULTIES = ("easy", "moderate", "hard")
 
 
 def ensure_binary():
-    """Compile eval/kitti_eval via make if the binary is missing."""
-    if not os.path.exists(_BINARY):
-        subprocess.check_call(["make", "-C", os.path.abspath(_EVAL_DIR)])
+    """Compile eval/kitti_eval via make (dependency-tracked no-op when
+    fresh), so edits to kitti_eval.cpp never evaluate with a stale binary."""
+    subprocess.check_call(["make", "-C", os.path.abspath(_EVAL_DIR)],
+                          stdout=subprocess.DEVNULL)
     return _BINARY
 
 
@@ -64,6 +65,14 @@ def run_kitti_eval(results_dir, gt_dir, overlaps=(0.7, 0.5, 0.5),
     ``results_dir`` must contain ``data/*.txt`` detections.
     """
     binary = ensure_binary()
+    # the binary only writes stats files for class/metric pairs enabled by
+    # the CURRENT detections; clear leftovers from a previous eval so they
+    # cannot be reported as this run's results
+    for cls in CLASSES:
+        for metric in METRICS:
+            stale = os.path.join(results_dir, f"stats_{cls}_{metric}.txt")
+            if os.path.exists(stale):
+                os.remove(stale)
     cmd = [binary, os.path.abspath(results_dir), os.path.abspath(gt_dir),
            "--overlap", str(overlaps[0]), str(overlaps[1]), str(overlaps[2])]
     if max_dist is not None and max_dist > 0:

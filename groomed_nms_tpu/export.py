@@ -112,7 +112,7 @@ def build_video_serving_fn(model, variables, rois, rois_3d, bbox_means,
         out = model.apply(variables, flat[None], train=False)
         meas, valid = extract_measurements(
             out.frame_outputs, rois, rois_3d, jnp.tile(p2[None], (f, 1, 1)),
-            jnp.tile(p2_inv[None], (f, 1, 1)), jnp.full((f,), scale),
+            jnp.full((f,), scale),
             bbox_means, bbox_stds, vcfg)
         poses_dn = out.poses[0] * pose_stds + pose_means
         poses_dn = jnp.concatenate([jnp.zeros((1, 6)), poses_dn], axis=0)

@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.boxes import bbox_transform_inv
+from ..ops.boxes import bbox_transform_inv, center_size
 from ..ops.geometry import alpha_to_rot_y, snap_to_pi
 from ..ops.nms import greedy_nms
 from .densenet import DenseNetBackbone
@@ -67,14 +67,20 @@ class VideoRPN3D(nn.Module):
         feats = feats.reshape(b, f, fh, fw, feats.shape[-1])
 
         pose_net = PoseNet(name="pose_net")
-        pairs = jnp.concatenate([feats[:, :-1], feats[:, 1:]], axis=-1)
-        poses = jax.vmap(pose_net, in_axes=1, out_axes=1)(
-            pairs) if f > 1 else jnp.zeros((b, 0, 6))
+        if f > 1:
+            pairs = jnp.concatenate([feats[:, :-1], feats[:, 1:]], axis=-1)
+        else:
+            # single-frame clip: still run the pose branch on a dummy
+            # self-pair (output sliced to length 0) so its params exist --
+            # a checkpoint from a 1-frame init must restore for F>1
+            # tracking/export
+            pairs = jnp.concatenate([feats[:, :1], feats[:, :1]], axis=-1)
+        poses = jax.vmap(pose_net, in_axes=1, out_axes=1)(pairs)[:, :f - 1]
         return VideoOutputs(frame_outputs=outputs, trunk_feats=feats,
                             poses=poses)
 
 
-def extract_measurements(outputs, rois, rois_3d, p2, p2_inv, scale,
+def extract_measurements(outputs, rois, rois_3d, p2, scale,
                          bbox_means, bbox_stds, cfg: VideoConfig):
     """Per-frame measurements for the tracker: decode -> threshold -> NMS
     -> fixed ``max_measurements`` slots.
@@ -95,10 +101,7 @@ def extract_measurements(outputs, rois, rois_3d, p2, p2_inv, scale,
     coords_2d = coords_2d.at[..., 2:4].add(1.0)
     coords_2d = coords_2d / scale[:, None, None]
 
-    widths = rois[:, 2] - rois[:, 0] + 1.0
-    heights = rois[:, 3] - rois[:, 1] + 1.0
-    ctr_x = rois[:, 0] + 0.5 * widths
-    ctr_y = rois[:, 1] + 0.5 * heights
+    ctr_x, ctr_y, widths, heights = center_size(rois[:, :4])
 
     stat_idx = jnp.array([4, 5, 6, 7, 8, 9, 11, 12])
     dn = outputs.bbox_3d[..., :8] * stds[stat_idx] + means[stat_idx]

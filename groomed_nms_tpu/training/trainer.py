@@ -7,8 +7,9 @@ Capability match for the reference's init_training_model / loss_backprop
   reference's gradient clip-by-value 1.0 applied *before* weight decay,
   matching torch's ``clip_grad_value_`` + SGD weight-decay ordering;
 * ``batch_skip`` gradient accumulation (reference lib/core.py:108-113)
-  via ``optax.MultiSteps`` -- the optimizer applies every k-th step and
-  accumulates in between, inside the same jitted step (no host logic);
+  with the reference's exact torch semantics (clipped running SUM, LR
+  policy on the global iteration count -- see
+  :func:`_clipped_sum_multisteps`), inside the same jitted step;
 * BatchNorm statistics updated functionally through ``mutable`` collections;
   ``freeze_bn`` becomes a static flag that routes BN through running stats.
 
@@ -18,7 +19,7 @@ mesh-shardable via :func:`~groomed_nms_tpu.parallel.shard_train_step`.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import flax.struct
 import jax
@@ -38,11 +39,72 @@ class TrainState(flax.struct.PyTreeNode):
     apply_fn: Callable = flax.struct.field(pytree_node=False)
 
 
+class _AccumulateState(NamedTuple):
+    mini_step: jnp.ndarray
+    acc_grads: Any
+    inner_state: Any
+
+
+def _clipped_sum_multisteps(inner, every_k, clip_value):
+    """torch-parity gradient accumulation (reference lib/core.py:99-113).
+
+    ``optax.MultiSteps`` averages the k micro-gradients and runs the inner
+    chain (clip included) once on the mean.  The reference instead
+    accumulates the SUM in ``.grad`` across backwards and value-clips the
+    *running sum* after every backward (``clip_grad_value_`` mutates
+    ``.grad`` in place); the optimizer then steps on that clipped sum every
+    k-th iteration.  This wrapper reproduces those semantics: clip is
+    applied here per micro-iteration, NOT inside ``inner``.
+    """
+    def init(params):
+        return _AccumulateState(
+            mini_step=jnp.zeros((), jnp.int32),
+            acc_grads=jax.tree_util.tree_map(jnp.zeros_like, params),
+            inner_state=inner.init(params))
+
+    def update(grads, state, params=None):
+        acc = jax.tree_util.tree_map(lambda a, g: a + g,
+                                     state.acc_grads, grads)
+        if clip_value:
+            acc = jax.tree_util.tree_map(
+                lambda a: jnp.clip(a, -clip_value, clip_value), acc)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
+
+        def apply_step(_):
+            updates, inner_state = inner.update(acc, state.inner_state,
+                                                params)
+            return updates, inner_state, zeros
+
+        def skip_step(_):
+            return zeros, state.inner_state, acc
+
+        updates, inner_state, new_acc = jax.lax.cond(
+            (state.mini_step + 1) % every_k == 0, apply_step, skip_step,
+            None)
+        return updates, _AccumulateState(state.mini_step + 1, new_acc,
+                                         inner_state)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(solver_type="sgd", lr_schedule=None, momentum=0.9,
                     weight_decay=0.0005, clip_value=1.0, batch_skip=1):
-    """Reference lib/core.py:71-93 optimizer menu + grad accumulation."""
+    """Reference lib/core.py:71-93 optimizer menu + grad accumulation.
+
+    With ``batch_skip > 1`` this reproduces the reference's
+    loss_backprop/adjust_lr pair exactly (lib/core.py:99-127): gradients
+    accumulate as a clipped SUM (see :func:`_clipped_sum_multisteps`) and
+    the LR policy is evaluated at the GLOBAL iteration count -- adjust_lr
+    changes the LR only on step iterations, reading ``iteration``, so the
+    applied step ``a`` uses ``schedule(a*k + k - 1)`` -- not at the
+    applied-step count as ``optax.MultiSteps`` would.
+    """
+    k = int(batch_skip) if batch_skip else 1
+    schedule = lr_schedule
+    if k > 1 and callable(lr_schedule):
+        schedule = lambda count: lr_schedule(count * k + (k - 1))
     parts = []
-    if clip_value:
+    if clip_value and k == 1:
         parts.append(optax.clip(clip_value))
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
@@ -54,14 +116,14 @@ def build_optimizer(solver_type="sgd", lr_schedule=None, momentum=0.9,
         parts.append(optax.scale_by_adamax())
     else:
         raise NotImplementedError(solver_type)
-    parts.append(optax.scale_by_learning_rate(lr_schedule))
+    parts.append(optax.scale_by_learning_rate(schedule))
     tx = optax.chain(*parts)
-    if batch_skip and batch_skip > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=batch_skip)
+    if k > 1:
+        tx = _clipped_sum_multisteps(tx, k, clip_value)
     return tx
 
 
-def create_train_state(model, images_shape, tx, rng=None, train=True):
+def create_train_state(model, images_shape, tx, rng=None):
     """Initialise model variables + optimizer state."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros(images_shape, jnp.float32),

@@ -86,13 +86,13 @@ def main():
     stds_img = jnp.asarray(cfg.image_stds)
 
     @jax.jit
-    def run_clip(images, p2, p2_inv, scale):
+    def run_clip(images, p2, scale):
         out = model.apply(variables, images[None], train=False)
         fo = out.frame_outputs
         f = images.shape[0]
         meas, valid = extract_measurements(
             fo, jnp.asarray(rois), jnp.asarray(rois_3d),
-            jnp.tile(p2[None], (f, 1, 1)), jnp.tile(p2_inv[None], (f, 1, 1)),
+            jnp.tile(p2[None], (f, 1, 1)),
             jnp.full((f,), scale), means.astype(np.float32),
             stds.astype(np.float32), vcfg)
         poses_n = out.poses[0]
@@ -118,8 +118,7 @@ def main():
         flat = preprocess_images(
             jnp.asarray(stack), jnp.zeros((f,), bool), means_img, stds_img,
             target_h=cfg.crop_size[0], crop_w=cfg.crop_size[1])
-        tracks = run_clip(flat, jnp.asarray(rec.p2, jnp.float32),
-                          jnp.asarray(rec.p2_inv, jnp.float32), scale)
+        tracks = run_clip(flat, jnp.asarray(rec.p2, jnp.float32), scale)
 
         write_kitti_tracks(
             os.path.join(results_dir, "data", rec.id + ".txt"), tracks,

@@ -89,14 +89,13 @@ def main():
     means_img = jnp.asarray(cfg.image_means)
     stds_img = jnp.asarray(cfg.image_stds)
     p2j = jnp.asarray(p2, jnp.float32)
-    p2i = jnp.asarray(np.linalg.inv(p2), jnp.float32)
 
     @jax.jit
     def detect(images, scale):
         out = model.apply(variables, images[None, None], train=False)
         meas, valid = extract_measurements(
             out.frame_outputs, jnp.asarray(rois), jnp.asarray(rois_3d),
-            p2j[None], p2i[None], jnp.full((1,), scale),
+            p2j[None], jnp.full((1,), scale),
             means.astype(np.float32), stds.astype(np.float32), vcfg)
         return meas[0], valid[0]
 

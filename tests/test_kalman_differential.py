@@ -398,7 +398,7 @@ def test_extract_measurements_matches_reference(ref):
                            nms_thres=0.4)
         meas, valid = extract_measurements(
             outputs, jnp.asarray(rois), jnp.asarray(rois_3d_full[:, 4:]),
-            jnp.asarray(p2[None]), jnp.asarray(np.linalg.inv(p2)[None]),
+            jnp.asarray(p2[None]),
             jnp.asarray([scale], np.float32), means, stds, vcfg)
         ours = np.asarray(meas[0])[np.asarray(valid[0])]
 

@@ -1081,3 +1081,64 @@ def test_hill_climb_matches_reference(ref):
         np.array([same, as_good, o_ol, np.asarray(r_ol)])
     # the majority of lanes land on the reference optimum exactly
     assert same.mean() >= 0.6, same.mean()
+
+
+# ---------------------------------------------------------------------------
+# batch_skip gradient accumulation: loss_backprop + adjust_lr
+# (lib/core.py:99-127) vs build_optimizer's clipped-sum multisteps
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("batch_skip", [1, 2, 3])
+def test_batch_skip_optimizer_differential(batch_skip):
+    """Replicates the reference's exact training-update semantics with real
+    torch: grads accumulate as a SUM in .grad, clip_grad_value_(1) clips the
+    running sum after EVERY backward, SGD(momentum, weight_decay) steps every
+    k-th iteration, and adjust_lr changes the LR only on step iterations,
+    evaluated at the GLOBAL iteration count (lib/core.py:108-127 with
+    train_rpn_3d.py:134's adjust-before-backprop ordering)."""
+    import jax.numpy as jnp
+    from groomed_nms_tpu.training import build_lr_schedule, build_optimizer
+
+    rng = np.random.default_rng(7 + batch_skip)
+    dim, iters = 24, 12
+    w0 = rng.normal(size=dim).astype(np.float32)
+    # large enough that partial sums exceed the clip value of 1 -- the
+    # running-sum clip, a total-sum clip, and MultiSteps' mean all diverge
+    grads = rng.uniform(-0.9, 0.9, size=(iters, dim)).astype(np.float32)
+
+    lr0, momentum, wd = 0.02, 0.9, 0.0005
+    schedule = build_lr_schedule(lr0, max_iter=iters, policy="poly")
+
+    # --- reference loop (actual torch) ---
+    w_t = torch.nn.Parameter(torch.tensor(w0, dtype=torch.float64))
+    opt = torch.optim.SGD([w_t], lr=lr0, momentum=momentum, weight_decay=wd)
+    ref_traj = []
+    for it in range(iters):
+        # adjust_lr (lib/core.py:127): only on step iterations, from the
+        # global iteration index
+        if (it + 1) % batch_skip == 0:
+            opt.param_groups[0]["lr"] = float(schedule(it))
+        # loss_backprop (lib/core.py:99-113)
+        loss = (w_t * torch.tensor(grads[it], dtype=torch.float64)).sum() \
+            - (w_t.detach() * torch.tensor(grads[it],
+                                           dtype=torch.float64)).sum() + 1.0
+        loss.backward()                       # accumulates the SUM in .grad
+        torch.nn.utils.clip_grad_value_([w_t], 1)
+        if (it + 1) % batch_skip == 0:
+            opt.step()
+            opt.zero_grad()
+        ref_traj.append(w_t.detach().numpy().copy())
+
+    # --- ours ---
+    tx = build_optimizer("sgd", schedule, momentum=momentum,
+                         weight_decay=wd, clip_value=1.0,
+                         batch_skip=batch_skip)
+    w = jnp.asarray(w0)
+    st = tx.init(w)
+    import optax
+    for it in range(iters):
+        updates, st = tx.update(jnp.asarray(grads[it]), st, w)
+        w = optax.apply_updates(w, updates)
+        np.testing.assert_allclose(np.asarray(w), ref_traj[it],
+                                   rtol=2e-5, atol=2e-6,
+                                   err_msg=f"iteration {it}")

@@ -72,7 +72,7 @@ def test_extract_measurements_and_track(video_setup):
                           score_thres=0.0)
     meas, valid = extract_measurements(
         fo, jnp.asarray(rois), jnp.asarray(rois_3d), jnp.asarray(p2),
-        jnp.asarray(np.linalg.inv(p2)), jnp.ones((b * f,)),
+        jnp.ones((b * f,)),
         np.zeros(13, np.float32), np.ones(13, np.float32), cfg_low)
     assert meas.shape == (b * f, 16, 16)
     assert bool(valid.any())
@@ -216,7 +216,7 @@ def test_video_train_step_has_vel():
                           score_thres=0.0)
     meas, valid = extract_measurements(
         fo, jnp.asarray(rois), jnp.asarray(rois_3d), jnp.asarray(p2f),
-        jnp.asarray(np.linalg.inv(p2f)), jnp.ones((b * f,)),
+        jnp.ones((b * f,)),
         np.zeros(14, np.float32), np.ones(14, np.float32), cfg_low)
     assert np.isfinite(np.asarray(meas)).all()
     # velocity column populated and clamped >= 0
