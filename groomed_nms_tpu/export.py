@@ -75,7 +75,9 @@ def build_video_serving_fn(model, variables, rois, rois_3d, bbox_means,
     here; /root/reference/scripts/test_kalman.py:1-222 runs the full clip
     per frame too): ``serve(clip_u8, p2, p2_inv, scale) -> Tracks`` where
     ``clip_u8`` is [F, H0, W0, 3] uint8 (frame 0 = earliest), ``p2`` /
-    ``p2_inv`` are [4, 4] and ``scale`` is a scalar.  The returned
+    ``p2_inv`` are [4, 4] and ``scale`` is [F] (per-frame src-to-network
+    resize factors -- history frames may have been host-fitted at a
+    different ratio than the current frame).  The returned
     fixed-slot ``Tracks`` NamedTuple (a pytree -- jax.export preserves the
     structure) carries the fused state vectors, 2D boxes, uncertainties
     and validity mask.
@@ -112,7 +114,7 @@ def build_video_serving_fn(model, variables, rois, rois_3d, bbox_means,
         out = model.apply(variables, flat[None], train=False)
         meas, valid = extract_measurements(
             out.frame_outputs, rois, rois_3d, jnp.tile(p2[None], (f, 1, 1)),
-            jnp.full((f,), scale),
+            jnp.asarray(scale, jnp.float32),
             bbox_means, bbox_stds, vcfg)
         poses_dn = out.poses[0] * pose_stds + pose_means
         poses_dn = jnp.concatenate([jnp.zeros((1, 6)), poses_dn], axis=0)
@@ -122,23 +124,32 @@ def build_video_serving_fn(model, variables, rois, rois_3d, bbox_means,
     return serve
 
 
-def export_video_serving(serve_fn, *, n_frames, src_h, src_w,
-                         platforms=None):
-    """Stage a video serving closure out and serialize it."""
+def _export_staged(serve_fn, avals, platforms=None):
+    """Shared export tail: stage the jitted closure out and serialize it."""
     import jax
     from jax import export as jax_export
+
+    exp = jax_export.export(
+        jax.jit(serve_fn),
+        platforms=list(platforms) if platforms else None)(*avals)
+    return exp.serialize()
+
+
+def export_video_serving(serve_fn, *, n_frames, src_h, src_w,
+                         platforms=None):
+    """Stage a video serving closure out and serialize it.
+
+    Input plane: clip [F, H0, W0, 3] u8, p2/p2_inv [4, 4] f32, scale [F]
+    f32 (per-frame resize factors, see build_video_serving_fn)."""
+    import jax
     import jax.numpy as jnp
 
-    args = (
+    return _export_staged(serve_fn, (
         jax.ShapeDtypeStruct((n_frames, src_h, src_w, 3), jnp.uint8),
         jax.ShapeDtypeStruct((4, 4), jnp.float32),
         jax.ShapeDtypeStruct((4, 4), jnp.float32),
-        jax.ShapeDtypeStruct((), jnp.float32),
-    )
-    exp = jax_export.export(
-        jax.jit(serve_fn),
-        platforms=list(platforms) if platforms else None)(*args)
-    return exp.serialize()
+        jax.ShapeDtypeStruct((n_frames,), jnp.float32),
+    ), platforms)
 
 
 def export_serving(serve_fn, *, batch, src_h, src_w, platforms=None):
@@ -148,19 +159,14 @@ def export_serving(serve_fn, *, batch, src_h, src_w, platforms=None):
     the current default backend only.
     """
     import jax
-    from jax import export as jax_export
     import jax.numpy as jnp
 
-    args = (
+    return _export_staged(serve_fn, (
         jax.ShapeDtypeStruct((batch, src_h, src_w, 3), jnp.uint8),
         jax.ShapeDtypeStruct((batch, 4, 4), jnp.float32),
         jax.ShapeDtypeStruct((batch, 4, 4), jnp.float32),
         jax.ShapeDtypeStruct((batch,), jnp.float32),
-    )
-    exp = jax_export.export(
-        jax.jit(serve_fn),
-        platforms=list(platforms) if platforms else None)(*args)
-    return exp.serialize()
+    ), platforms)
 
 
 def load_serving(blob):

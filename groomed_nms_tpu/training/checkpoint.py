@@ -62,46 +62,70 @@ def latest_checkpoint(output_dir):
 
 
 def restore_checkpoint(output_dir, state, step=None, restore_optimizer=True):
-    """Restore into an existing TrainState template. Returns the new state."""
+    """Restore into an existing TrainState template. Returns the new state.
+
+    Optimizer tolerance (reference lib/core.py:936-940 swallows
+    optimizer-load failures when warm-starting across configs): if the
+    on-disk opt_state tree does not structurally match this run's
+    optimizer (e.g. the checkpoint came from a differently-wrapped /
+    freeze-masked run), the model weights still restore and the optimizer
+    keeps its fresh init, with a warning.
+    """
+    import logging
+
     from ..losses.rpn_3d import UncertaintyState
 
+    log = logging.getLogger(__name__)
     if step is None:
         step = latest_checkpoint(output_dir)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {output_dir}")
     path = _ckpt_dir(output_dir, step)
     ckptr = ocp.StandardCheckpointer()
-    opt_template = jax.device_get(state.opt_state)
-    if not restore_optimizer:
-        # the on-disk opt_state tree may not match this run's optimizer
-        # (e.g. the checkpoint came from a freeze-wrapped training stage);
-        # orbax requires a structurally matching template even for subtrees
-        # we discard, so synthesize opt_state's template from the
+
+    def _template(opt_template):
+        return {
+            "step": np.asarray(0),
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": opt_template,
+            "un_state": {"lam": np.zeros(()), "n": np.zeros((), np.int32)},
+        }
+
+    def _meta_opt_template():
+        # orbax requires a structurally matching template even for
+        # subtrees we discard, so synthesize opt_state's template from the
         # checkpoint's own metadata
+        meta = ckptr.metadata(path)
+        meta = getattr(meta, "item_metadata", meta).tree
+        return jax.tree_util.tree_map(
+            lambda m: np.zeros(m.shape, m.dtype), meta["opt_state"])
+
+    restored_opt = None
+    if restore_optimizer:
         try:
-            meta = ckptr.metadata(path)
-            meta = getattr(meta, "item_metadata", meta).tree
-            opt_template = jax.tree_util.tree_map(
-                lambda m: np.zeros(m.shape, m.dtype), meta["opt_state"])
+            payload = ckptr.restore(path, _template(
+                jax.device_get(state.opt_state)))
+            restored_opt = payload["opt_state"]
+        except Exception as e:
+            log.warning("opt_state in %s does not match this run's "
+                        "optimizer (%s); restoring weights only, optimizer "
+                        "starts fresh", path, type(e).__name__)
+            payload = ckptr.restore(path, _template(_meta_opt_template()))
+    else:
+        try:
+            opt_template = _meta_opt_template()
         except Exception:
-            pass  # older orbax: fall back to the state's own opt tree
-    template = {
-        "step": np.asarray(0),
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": opt_template,
-        "un_state": {"lam": np.zeros(()), "n": np.zeros((), np.int32)},
-    }
-    payload = ckptr.restore(path, template)
+            # older orbax: fall back to the state's own opt tree
+            opt_template = jax.device_get(state.opt_state)
+        payload = ckptr.restore(path, _template(opt_template))
+
     new = state.replace(
         step=jax.numpy.asarray(payload["step"], jax.numpy.int32),
         params=payload["params"],
         batch_stats=payload["batch_stats"],
         un_state=UncertaintyState(lam=payload["un_state"]["lam"],
                                   n=payload["un_state"]["n"]))
-    if restore_optimizer:
-        try:
-            new = new.replace(opt_state=payload["opt_state"])
-        except Exception:
-            pass  # tolerate optimizer mismatch on warm starts
+    if restored_opt is not None:
+        new = new.replace(opt_state=restored_opt)
     return new

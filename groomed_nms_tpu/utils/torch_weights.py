@@ -90,15 +90,33 @@ def convert_backbone(sd):
 
 
 def convert_rpn_checkpoint(sd, num_classes, num_anchors,
-                           predict_acceptance_prob=False):
+                           predict_acceptance_prob=False,
+                           predict_uncertainty=None,
+                           predict_velocity=False):
     """Full reference RPN state dict -> {'params', 'batch_stats'} trees.
 
     The reference's bbox_3d head has no separate rsin/rcos convs -- the
     single ``bbox_alpha`` conv output feeds both decode paths
     (models/...alpha.py:189) -- so its kernel is duplicated into our two
     channels.
+
+    ``predict_uncertainty`` (the `_un` variant's ``bbox_un`` conv,
+    models/...alpha_un.py:68) defaults to auto-detection from the state
+    dict; a mismatch between the flag and the checkpoint raises instead
+    of silently dropping or fabricating the head.  ``predict_velocity``
+    zero-inits the velocity channel: the reference has no velocity conv
+    (its released checkpoints predate the video stage), matching
+    :func:`widen_fused_head_for_velocity`.
     """
     sd = _strip(sd)
+    has_un = "bbox_un.weight" in sd
+    if predict_uncertainty is None:
+        predict_uncertainty = has_un
+    if predict_uncertainty != has_un:
+        raise ValueError(
+            f"predict_uncertainty={predict_uncertainty} but the checkpoint "
+            f"{'has' if has_un else 'lacks'} bbox_un weights -- converting "
+            "would silently drop or randomize the uncertainty head")
     base_sd = {k[len("base."):]: v for k, v in sd.items()
                if k.startswith("base.")}
     bb_params, bb_stats = convert_backbone(base_sd)
@@ -112,7 +130,8 @@ def convert_rpn_checkpoint(sd, num_classes, num_anchors,
     }
 
     a, c = num_anchors, num_classes
-    per_anchor = c + 4 + 10
+    n3d = 10 + (1 if predict_velocity else 0)
+    per_anchor = c + 4 + n3d + (1 if predict_uncertainty else 0)
     in_ch = sd["cls.weight"].shape[1]
     kernel = np.zeros((1, 1, in_ch, a * per_anchor), np.float32)
     bias = np.zeros((a * per_anchor,), np.float32)
@@ -139,6 +158,9 @@ def convert_rpn_checkpoint(sd, num_classes, num_anchors,
     put(c + 11, sd["bbox_alpha.weight"], sd["bbox_alpha.bias"])
     put(c + 12, sd["bbox_axis.weight"], sd["bbox_axis.bias"])
     put(c + 13, sd["bbox_head.weight"], sd["bbox_head.bias"])
+    # velocity channel (c + 4 + 10, when present) stays zero-init
+    if predict_uncertainty:
+        put(c + 4 + n3d, sd["bbox_un.weight"], sd["bbox_un.bias"])
     params["head"] = {"kernel": kernel, "bias": bias}
 
     if predict_acceptance_prob:
@@ -237,6 +259,27 @@ def load_video_variables(model, cfg, out_dir, restore=None, log=None):
                                           restore_optimizer=False)
             log.info("single-frame weights restored from %s (iter %d)",
                      out_dir, int(sf_state.step))
+        elif getattr(cfg, "pretrained", None) and \
+                latest_checkpoint(cfg.pretrained) is not None:
+            # the same warm-start rule as scripts/train.py's video
+            # dispatch: the single-frame `_un` checkpoint has no velocity
+            # channel, so restore into a velocity-free head and widen
+            import dataclasses
+            sf_cfg = dataclasses.replace(model.config.rpn,
+                                         predict_velocity=False)
+            pre = create_train_state(RPN3D(sf_cfg), (1, 64, 64, 3), tx)
+            pre = restore_checkpoint(cfg.pretrained, pre,
+                                     restore_optimizer=False)
+            params = pre.params
+            if model.config.rpn.predict_velocity:
+                params = widen_fused_head_for_velocity(
+                    params, model.config.rpn.num_anchors,
+                    model.config.rpn.num_classes)
+            sf_state = sf_state.replace(params=params,
+                                        batch_stats=pre.batch_stats,
+                                        step=pre.step)
+            log.info("single-frame weights warm-started from %s (iter %d)",
+                     cfg.pretrained, int(pre.step))
         else:
             log.warning("no checkpoint under %s; using random weights",
                         out_dir)

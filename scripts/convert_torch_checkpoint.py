@@ -40,11 +40,14 @@ def main():
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
           for k, v in sd.items()}
 
+    rpn_cfg = cfg.rpn_config(args.num_anchors)
     variables = convert_rpn_checkpoint(
         sd, num_classes=cfg.num_classes, num_anchors=args.num_anchors,
-        predict_acceptance_prob=cfg.predict_acceptance_prob)
+        predict_acceptance_prob=cfg.predict_acceptance_prob,
+        predict_uncertainty=rpn_cfg.predict_uncertainty,
+        predict_velocity=rpn_cfg.predict_velocity)
 
-    model = RPN3D(cfg.rpn_config(args.num_anchors))
+    model = RPN3D(rpn_cfg)
     tx = build_optimizer(cfg.solver_type, build_lr_schedule(cfg.lr, 100))
     state = create_train_state(model, (1, 64, 64, 3), tx)
     state = state.replace(params=variables["params"],

@@ -114,7 +114,7 @@ def main():
         out_path = args.out or os.path.join(out_dir, "video_model.ghlo")
         meta_io = {
             "inputs": "clip_u8 [F,H0,W0,3] u8; p2 [4,4] f32; "
-                      "p2_inv [4,4] f32; scale [] f32",
+                      "p2_inv [4,4] f32; scale [F] f32",
             "outputs": "Tracks pytree (fixed-slot kalman state + validity)",
             "frames": n_frames,
         }
@@ -171,7 +171,8 @@ def main():
             p2[0, 0] = p2[1, 1] = 707.0
             p2[0, 2], p2[1, 2] = 604.0, 180.0
             p2_inv = np.linalg.inv(p2)
-            scale = np.float32(cfg.crop_size[0] / args.src_h)
+            scale = np.full((n_frames,), cfg.crop_size[0] / args.src_h,
+                            np.float32)
             want = jax.block_until_ready(jserve(clip, p2, p2_inv, scale))
             got = jax.block_until_ready(loaded(clip, p2, p2_inv, scale))
             for name, g, w in zip(want._fields, got, want):

@@ -105,14 +105,28 @@ def main():
         n_frames = meta["frames"]
         log.info("video artifact %s: frames=%d src=%dx%d",
                  args.artifact, n_frames, src_h, src_w)
+        # each source frame appears in up to n_frames consecutive windows;
+        # memoize the trailing window's decodes instead of re-reading and
+        # re-fitting from disk every output frame
+        frame_cache = {}
+
+        def cached_frame(path):
+            if path not in frame_cache:
+                frame_cache[path] = load_frame(path)
+                while len(frame_cache) > n_frames + 1:
+                    frame_cache.pop(next(iter(frame_cache)))
+            return frame_cache[path]
+
         for i, path in enumerate(paths):
             window = paths[max(0, i - n_frames + 1):i + 1]
             window = [window[0]] * (n_frames - len(window)) + window
-            frames, scales = zip(*(load_frame(p) for p in window))
+            frames, scales = zip(*(cached_frame(p) for p in window))
             p2 = calib_for(path)
+            # per-frame scales: history frames may have been host-fitted
+            # at a different ratio (mixed-size inputs)
             tracks = loaded(np.stack(frames), p2,
                             np.linalg.inv(p2).astype(np.float32),
-                            np.float32(scales[-1]))
+                            np.asarray(scales, np.float32))
             stem = os.path.splitext(os.path.basename(path))[0]
             write_kitti_tracks(
                 os.path.join(args.out, stem + ".txt"),

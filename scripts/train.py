@@ -118,45 +118,16 @@ def main():
     # remote-compile tunnel)
     init_shape = (1, max(1, cfg.video_count), 64, 64, 3) if is_video \
         else (1, 64, 64, 3)
+    base_tx = tx
     state = create_train_state(model, init_shape, tx,
                                rng=jax.random.PRNGKey(cfg.rng_seed))
 
-    if args.restore is not None:
-        state = restore_checkpoint(out_dir, state, args.restore)
-        log.info("restored iter %d", int(state.step))
-    elif cfg.pretrained and latest_checkpoint(cfg.pretrained) is not None:
-        if is_video:
-            # warm-start the rpn subtree from the single-frame `_un`
-            # checkpoint (reference kitti_3d_full.py:39); its fused head
-            # has no velocity channel, so widen it with a zero-init one
-            import dataclasses
-            from groomed_nms_tpu.utils.torch_weights import \
-                assemble_video_variables, widen_fused_head_for_velocity
-            sf_cfg = dataclasses.replace(rpn_cfg, predict_velocity=False)
-            sf_state = create_train_state(RPN3D(sf_cfg), (1, 64, 64, 3), tx)
-            sf_state = restore_checkpoint(cfg.pretrained, sf_state,
-                                          restore_optimizer=False)
-            if rpn_cfg.predict_velocity:
-                sf_state = sf_state.replace(
-                    params=widen_fused_head_for_velocity(
-                        sf_state.params, rpn_cfg.num_anchors,
-                        rpn_cfg.num_classes))
-            pose_npz = os.path.join(cfg.pretrained, "pose_net_params.npz")
-            variables = assemble_video_variables(
-                model, sf_state,
-                pose_npz if os.path.exists(pose_npz) else None,
-                example_shape=init_shape)
-            state = state.replace(params=variables["params"],
-                                  batch_stats=variables["batch_stats"])
-        else:
-            state = restore_checkpoint(cfg.pretrained, state,
-                                       restore_optimizer=False)
-        state = state.replace(step=jnp.zeros((), jnp.int32))
-        log.info("warm-started from %s", cfg.pretrained)
-
     # freezing (reference train_rpn_3d.py:112-116 applies freeze_layers /
     # slow_bn / freeze_bn from config; here it's an optax mask + BN-stat
-    # pinning, built once -- functional state needs no per-loop re-freeze)
+    # pinning, built once -- functional state needs no per-loop re-freeze).
+    # Built BEFORE any restore so a checkpoint saved by this same config
+    # restores its optimizer state into a structurally matching
+    # (freeze-wrapped) template instead of being re-initialised.
     frozen_mask = None
     train_bn = True
     if cfg.freeze_blacklist or cfg.freeze_whitelist or cfg.freeze_bn:
@@ -177,6 +148,54 @@ def main():
         # every BN module frozen -> run BN fully in eval mode, the exact
         # reference semantics (module.eval() normalizes by running stats)
         train_bn = not all_stats_frozen(frozen_mask)
+
+    if args.restore is not None:
+        state = restore_checkpoint(out_dir, state, args.restore)
+        log.info("restored iter %d", int(state.step))
+    elif cfg.pretrained and latest_checkpoint(cfg.pretrained) is not None:
+        if is_video:
+            # warm-start the rpn subtree from the single-frame `_un`
+            # checkpoint (reference kitti_3d_full.py:39); its fused head
+            # has no velocity channel, so widen it with a zero-init one
+            import dataclasses
+            from groomed_nms_tpu.utils.torch_weights import \
+                assemble_video_variables, widen_fused_head_for_velocity
+            sf_cfg = dataclasses.replace(rpn_cfg, predict_velocity=False)
+            # base_tx, not the freeze-wrapped tx: the freeze labels tree is
+            # shaped like the VIDEO model's params and would not init
+            # against the single-frame RPN tree (the optimizer state is
+            # discarded here anyway)
+            sf_state = create_train_state(RPN3D(sf_cfg), (1, 64, 64, 3),
+                                          base_tx)
+            sf_state = restore_checkpoint(cfg.pretrained, sf_state,
+                                          restore_optimizer=False)
+            if rpn_cfg.predict_velocity:
+                sf_state = sf_state.replace(
+                    params=widen_fused_head_for_velocity(
+                        sf_state.params, rpn_cfg.num_anchors,
+                        rpn_cfg.num_classes))
+            # scripts/train_pose.py writes to <out_dir>_pose (the rule
+            # load_video_variables also uses); cfg.pretrained is the
+            # fallback for hand-staged trees
+            pose_candidates = [
+                os.path.join(out_dir + "_pose", "pose_net_params.npz"),
+                os.path.join(cfg.pretrained, "pose_net_params.npz"),
+            ]
+            pose_npz = next((p for p in pose_candidates
+                             if os.path.exists(p)), None)
+            if pose_npz is None:
+                log.warning("no trained pose branch found (looked in %s); "
+                            "pose_net starts from random init",
+                            pose_candidates)
+            variables = assemble_video_variables(
+                model, sf_state, pose_npz, example_shape=init_shape)
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
+        else:
+            state = restore_checkpoint(cfg.pretrained, state,
+                                       restore_optimizer=False)
+        state = state.replace(step=jnp.zeros((), jnp.int32))
+        log.info("warm-started from %s", cfg.pretrained)
 
     if is_video:
         from groomed_nms_tpu.data.pipeline import VideoTrainLoader

@@ -191,7 +191,7 @@ def test_video_export_roundtrip_matches_live(tmp_path):
     p2[0, 0] = p2[1, 1] = 700.0
     p2[0, 2], p2[1, 2] = 60.0, 18.0
     p2_inv = np.linalg.inv(p2)
-    scale = np.float32(th / src_h)
+    scale = np.full((f,), th / src_h, np.float32)
     want = jax.block_until_ready(jax.jit(serve)(clip, p2, p2_inv, scale))
     loaded = load_serving(path.read_bytes())
     got = jax.block_until_ready(loaded(clip, p2, p2_inv, scale))

@@ -142,13 +142,16 @@ def test_converted_checkpoint_loads_and_runs():
     assert np.isfinite(np.asarray(out.bbox_3d)).all()
 
 
-def test_torch_forward_numerical_equivalence():
+@pytest.mark.parametrize("with_un", [False, True])
+def test_torch_forward_numerical_equivalence(with_un):
     """Converted weights reproduce the reference forward NUMERICALLY.
 
     Builds a reference-shaped state dict, runs the reference's graph with
     plain torch.nn.functional ops (NCHW: torchvision-features DenseNet with
     dilated last block + deleted pool, prop_feats conv+ReLU, separate 1x1
-    head convs -- models/densenet121_3d_dilate_decomp_alpha.py:21-140), and
+    head convs -- models/densenet121_3d_dilate_decomp_alpha.py:21-140; the
+    ``with_un`` variant adds the `_un` model's bbox_un conv+sigmoid,
+    models/...alpha_un.py:68,111), and
     checks this framework's converted NHWC model matches every head output
     after the documented (h, w, a) reordering. This is the converter proof
     the judge asked for: real checkpoints transplant function, not just
@@ -166,6 +169,8 @@ def test_torch_forward_numerical_equivalence():
     fields = ["bbox_x", "bbox_y", "bbox_w", "bbox_h", "bbox_x3d", "bbox_y3d",
               "bbox_z3d", "bbox_w3d", "bbox_h3d", "bbox_l3d", "bbox_alpha",
               "bbox_axis", "bbox_head"]
+    if with_un:
+        fields = fields + ["bbox_un"]
     for f in fields:
         sd[f + ".weight"] = rng.normal(size=(a, prop, 1, 1)).astype(
             np.float32) * 0.1
@@ -213,6 +218,7 @@ def test_torch_forward_numerical_equivalence():
     variables = convert_rpn_checkpoint(sd, num_classes=c, num_anchors=a)
     cfg = RPNConfig(
         num_classes=c, num_anchors=a, prop_features=prop,
+        predict_uncertainty=with_un,
         backbone=DenseNetConfig(growth_rate=8, block_layers=(2, 2),
                                 stem_features=16, block_dilations=(1, 2),
                                 transition_pool=(True,)))
@@ -253,3 +259,44 @@ def test_torch_forward_numerical_equivalence():
     for ch, f in ((8, "bbox_axis"), (9, "bbox_head")):
         close(ours(out.bbox_3d, ch),
               1.0 / (1.0 + np.exp(-theirs(f))), f)
+    if with_un:
+        # the `_un` variant's self-balancing confidence (sigmoid in both)
+        close(np.asarray(out.uncertainty).reshape(1, fh, fw, a),
+              1.0 / (1.0 + np.exp(-theirs("bbox_un"))), "bbox_un")
+    else:
+        assert out.uncertainty is None
+
+
+def test_convert_un_flag_mismatch_raises():
+    """A flag/checkpoint mismatch must fail loudly, not drop the un head."""
+    rng = np.random.default_rng(3)
+    a, c, prop = 2, 3, 8
+    sd, bb_ch = _fake_torch_densenet(rng)
+    sd = {"base." + k: v for k, v in sd.items()}
+    sd["prop_feats.0.weight"] = rng.normal(
+        size=(prop, bb_ch, 3, 3)).astype(np.float32)
+    sd["prop_feats.0.bias"] = rng.normal(size=(prop,)).astype(np.float32)
+    for f in ["bbox_x", "bbox_y", "bbox_w", "bbox_h", "bbox_x3d", "bbox_y3d",
+              "bbox_z3d", "bbox_w3d", "bbox_h3d", "bbox_l3d", "bbox_alpha",
+              "bbox_axis", "bbox_head"]:
+        sd[f + ".weight"] = rng.normal(size=(a, prop, 1, 1)).astype(np.float32)
+        sd[f + ".bias"] = rng.normal(size=(a,)).astype(np.float32)
+    sd["cls.weight"] = rng.normal(size=(c * a, prop, 1, 1)).astype(np.float32)
+    sd["cls.bias"] = rng.normal(size=(c * a,)).astype(np.float32)
+
+    with pytest.raises(ValueError, match="bbox_un"):
+        convert_rpn_checkpoint(sd, num_classes=c, num_anchors=a,
+                               predict_uncertainty=True)
+    sd["bbox_un.weight"] = rng.normal(size=(a, prop, 1, 1)).astype(np.float32)
+    sd["bbox_un.bias"] = rng.normal(size=(a,)).astype(np.float32)
+    with pytest.raises(ValueError, match="bbox_un"):
+        convert_rpn_checkpoint(sd, num_classes=c, num_anchors=a,
+                               predict_uncertainty=False)
+    # velocity channel: zero-init slot widens per_anchor by one
+    v = convert_rpn_checkpoint(sd, num_classes=c, num_anchors=a,
+                               predict_velocity=True)
+    per = c + 4 + 11 + 1
+    kernel = v["params"]["head"]["kernel"]
+    assert kernel.shape[-1] == a * per
+    for ai in range(a):
+        np.testing.assert_array_equal(kernel[0, 0, :, ai * per + c + 14], 0.0)

@@ -169,6 +169,45 @@ def test_checkpoint_roundtrip(tmp_path, train_setup):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_roundtrip_freeze_wrapped(tmp_path, train_setup):
+    """A freeze-wrapped run resumes with its optimizer state intact, and a
+    checkpoint from a DIFFERENTLY-wrapped optimizer restores weights-only
+    instead of raising (scripts/train.py wraps before restoring; the
+    tolerance mirrors reference lib/core.py:936-940)."""
+    from groomed_nms_tpu.training.freeze import (build_freeze_labels,
+                                                 wrap_with_freeze)
+
+    state = train_setup["make_state"]()
+    labels = build_freeze_labels(state.params,
+                                 freeze_whitelist=("backbone",))
+    wrapped_tx = wrap_with_freeze(state.tx, labels)
+    state = state.replace(tx=wrapped_tx,
+                          opt_state=wrapped_tx.init(state.params))
+    step = jax.jit(train_setup["step_fn"], donate_argnums=())
+    state, _ = step(state, train_setup["batch"])
+    save_checkpoint(str(tmp_path), state)
+
+    # same wrapping -> full restore including optimizer state
+    fresh = train_setup["make_state"]()
+    fresh = fresh.replace(tx=wrapped_tx,
+                          opt_state=wrapped_tx.init(fresh.params))
+    restored = restore_checkpoint(str(tmp_path), fresh)
+    assert int(restored.step) == 1
+    a = jax.tree_util.tree_leaves(state.opt_state)
+    b = jax.tree_util.tree_leaves(restored.opt_state)
+    assert any(np.asarray(x).any() for x in a), "opt_state never moved"
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    # different wrapping (plain tx) -> weights restore, optimizer fresh
+    plain = train_setup["make_state"]()
+    restored2 = restore_checkpoint(str(tmp_path), plain)
+    assert int(restored2.step) == 1
+    pa = jax.tree_util.tree_leaves(state.params)[0]
+    pb = jax.tree_util.tree_leaves(restored2.params)[0]
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb))
+
+
 def test_freeze_wiring_end_to_end(train_setup):
     """Frozen params stay bit-identical through real train steps; frozen BN
     running stats stay pinned (reference freeze_layers semantics:
