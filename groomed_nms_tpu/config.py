@@ -267,6 +267,7 @@ class ExperimentConfig:
             nms_thres=self.nms_thres,
             score_thres=self.score_thres,
             clip_boxes=self.clip_boxes,
+            use_un_for_score=self.use_un_for_score,
             use_differentiable_nms=self.use_differentiable_nms_at_test,
             diff_nms_pruning_method=self.diff_nms_pruning_method,
             diff_nms_temperature=self.diff_nms_temperature,

@@ -55,8 +55,13 @@ class DetectConfig:
     diff_nms_mask_group_boxes: bool = True
     diff_nms_group_size: int = 100
     overlap_in_nms: str = "2d"
-    # score fusion
+    # score fusion: use_acceptance_prob_for_nms folds un/accept into the
+    # RANKING score (pre-NMS top-k + NMS); use_un_for_score folds it into
+    # the WRITTEN score column (reference rpn_util.py:1524-1526 sets
+    # score = score*un at decode, and its writer at 1430-1435 skips the
+    # second multiply when use_acceptance_prob_for_nms already did)
     use_acceptance_prob_for_nms: bool = True
+    use_un_for_score: bool = True
     decomp_alpha: bool = True
     # pre-NMS top-k selection: exact lax.top_k (default) or the TPU-native
     # two-stage approx_max_k. With k=3000 of ~126k anchors the recall target
@@ -142,16 +147,21 @@ def decode_detections(outputs, rois, rois_3d, p2, p2_inv, scale_factor,
     alpha_out = rot_y_to_alpha(ry3d, z3d, x3d)
 
     cls_pred = (jnp.argmax(prob[..., 1:], axis=-1) + 1).astype(jnp.float32)
-    scores = jnp.max(prob[..., 1:], axis=-1)
+    raw_scores = jnp.max(prob[..., 1:], axis=-1)
     accept = outputs.get("accept_prob")
     if accept is None:
         accept = outputs.get("uncertainty")
+    scores = raw_scores
     if cfg.use_acceptance_prob_for_nms and accept is not None:
-        scores = scores * accept
+        scores = raw_scores * accept
+    # written column: un-fused iff use_un_for_score (the use_un_for_score=
+    # False ablation ranks by the fused score but writes the raw one)
+    written = raw_scores * accept \
+        if (cfg.use_un_for_score and accept is not None) else raw_scores
 
     dets = jnp.stack([
         coords_2d[..., 0], coords_2d[..., 1], coords_2d[..., 2],
-        coords_2d[..., 3], scores, cls_pred,
+        coords_2d[..., 3], written, cls_pred,
         x2d, y2d, z2d, w3d, h3d, l3d, alpha_out,
         x3d, y3d, z3d, ry3d,
     ], axis=-1)

@@ -429,7 +429,21 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
             rank_tar = jnp.where(accept_tar >= 0.6, 1.0, 0.0)
             rank_tar = jnp.where(fg_sel, rank_tar, -1.0)
             lp = None
-            loss_ap = ap_loss(ap_scores.reshape(-1), rank_tar.reshape(-1)) \
+            # only fg boxes participate (non-fg targets are -1 = ignored),
+            # so gather the top max_ap_boxes fg per image before ap_loss:
+            # our batched AP loss is O(N^2) memory ([N, N] rank terms),
+            # and the reference's raw [B*R] flatten (lib/loss/rpn_3d.py:
+            # 1046-1056) would need ~257 GB at 512x1760.  The cap only
+            # binds when an image has > max_ap_boxes sampled fg anchors.
+            def gather_rank(sc_img, tar_img, fg_img):
+                key = jnp.where(fg_img, sc_img, -jnp.inf)
+                _, idx = jax.lax.top_k(key, min(cfg.max_ap_boxes, r))
+                valid = jnp.take(key, idx) > -jnp.inf
+                return (jnp.where(valid, sc_img[idx], 0.0),
+                        jnp.where(valid, tar_img[idx], -1.0))
+
+            sc_b, tar_b = jax.vmap(gather_rank)(ap_scores, rank_tar, fg_sel)
+            loss_ap = ap_loss(sc_b.reshape(-1), tar_b.reshape(-1)) \
                 * cfg.acceptance_prob_lambda
         else:
             raise NotImplementedError(cfg.acceptance_prob_mode)

@@ -1,5 +1,13 @@
 """Weight-folded eval-mode inference engine for the RPN3D model.
 
+**NEGATIVE RESULT -- kept as an engineering record, NOT the production
+path.**  Measured on v5e: 169.7 img/s vs 225.3 img/s for the flax/XLA
+virtual-concat path (docs/BENCHMARKS.md "Pallas dense block"); the
+hypothesis that a VMEM-resident dense block would beat XLA's fusion of the
+virtual-concat trunk was falsified -- XLA's conv scheduling + layout
+choices win.  Production inference uses ``RPN3D.apply`` (see
+``__graft_entry__.py``); do not switch to this engine without re-measuring.
+
 Consumes the flax parameter/batch-stats trees of ``RPN3D`` directly (plain
 dict access -- no module tracing) and runs the forward pass with:
 
@@ -7,8 +15,7 @@ dict access -- no module tracing) and runs the forward pass with:
   vectors at trace time,
 * every dense block executed by the VMEM-resident Pallas kernel
   (ops/pallas_dense_block.py): one HBM read of the block input, one write
-  of its output, all layer math on-chip -- versus the XLA virtual-concat
-  path's O(L^2) HBM re-reads,
+  of its output, all layer math on-chip,
 * stem / transitions / norm5 / heads as plain lax ops (they are cheap and
   already fuse well).
 

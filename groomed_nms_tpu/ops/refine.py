@@ -14,12 +14,11 @@ and rotY in parallel, takes the better one if it improves by more than
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 
-from .geometry import project_3d_box, snap_to_pi
+from .geometry import snap_to_pi
 from .iou import elementwise_iou
 
 

@@ -82,21 +82,32 @@ def force_cpu_mesh(n_devices: int):
     Never query ``jax.devices()`` before calling this -- that would
     dispatch to the ambient platform.
     """
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n_devices}"
-        ).strip()
-    import jax
+    import re
 
-    ensure_requested_platform()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flag = f"--xla_force_host_platform_device_count={n_devices}"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" in flags:
+        # REPLACE a stale count (from the ambient env or a previous call);
+        # merely keeping it would silently cap the mesh below n_devices
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                       flag, flags)
+    else:
+        flags = (flags + " " + flag).strip()
+    os.environ["XLA_FLAGS"] = flags
+
+    import jax
+    from jax.extend.backend import clear_backends
+
+    # drop any live backend FIRST: both the XLA flag and jax_num_cpu_devices
+    # are read at client creation, and jax.config.update raises once a
+    # backend exists
+    clear_backends()
     try:
         jax.config.update("jax_num_cpu_devices", n_devices)
-        from jax.extend.backend import clear_backends
-        clear_backends()
     except Exception:
-        pass  # older jax: rely on the XLA_FLAGS path set above
+        pass  # older jax: the XLA_FLAGS path above covers it
+    ensure_requested_platform()
     devices = jax.devices("cpu")
     assert len(devices) >= n_devices, (
         f"need {n_devices} CPU devices, have {len(devices)}")

@@ -12,26 +12,34 @@ from collections import defaultdict
 
 
 class StatTracker:
-    def __init__(self, max_iter, display=100):
+    def __init__(self, max_iter, display=100, start_iter=0):
         self.max_iter = max_iter
         self.display = display
+        # dt/ETA measure THIS process's progress: a resumed run starts its
+        # clock at start_iter, not 0 (else dt is off by resumed/elapsed)
+        self.start_iter = start_iter
         self.start = time.time()
         self.reset()
 
     def reset(self):
-        self.sums = defaultdict(float)
-        self.counts = defaultdict(int)
+        self._pending = defaultdict(list)
 
     def update(self, stats: dict):
+        # stash raw values WITHOUT float(): converting a device scalar
+        # blocks until the step's results are ready, serialising host
+        # dispatch against device compute every iteration (the remote-
+        # tunnel dispatch latency only amortises with a deep async
+        # queue); conversion happens once per display window in means()
         for k, v in stats.items():
-            self.sums[k] += float(v)
-            self.counts[k] += 1
+            self._pending[k].append(v)
 
     def means(self):
-        return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+        return {k: sum(float(v) for v in vs) / max(len(vs), 1)
+                for k, vs in self._pending.items()}
 
     def eta(self, iteration):
-        dt = (time.time() - self.start) / max(iteration, 1)
+        done = max(iteration - self.start_iter, 1)
+        dt = (time.time() - self.start) / done
         remaining = dt * (self.max_iter - iteration)
         h, rem = divmod(int(remaining), 3600)
         m, s = divmod(rem, 60)
@@ -99,10 +107,27 @@ class MetricsCSV:
         import os
         keys = sorted(stats)
         if self._keys is None:
-            self._keys = keys
-            if not os.path.exists(self.path):
+            if os.path.exists(self.path):
+                with open(self.path) as f:
+                    header = f.readline().strip().split(",")
+                if header[:1] == ["iter"] and header[1:] == keys:
+                    self._keys = keys   # resuming with the same stat set
+                else:
+                    # stat set changed across runs (e.g. a new loss term):
+                    # rotate the old file so appended rows never sit under
+                    # a header with different columns
+                    n = 1
+                    while os.path.exists(f"{self.path}.{n}"):
+                        n += 1
+                    os.replace(self.path, f"{self.path}.{n}")
+            if self._keys is None:
+                self._keys = keys
                 with open(self.path, "w") as f:
                     f.write("iter," + ",".join(keys) + "\n")
         with open(self.path, "a") as f:
-            f.write(f"{iteration}," +
-                    ",".join(f"{float(stats[k]):.6f}" for k in keys) + "\n")
+            # rows follow the HEADER's column order; keys missing from this
+            # window are left empty (the dashboard reader is partial-row
+            # tolerant), unexpected new keys are dropped
+            row = ",".join(f"{float(stats[k]):.6f}" if k in stats else ""
+                           for k in self._keys)
+            f.write(f"{iteration},{row}\n")

@@ -12,21 +12,37 @@ import math
 
 import numpy as np
 
-from ..ops.geometry import get_corners_of_cuboid, project_3d_points
-
 # the cuboid's 12 wireframe edges in the corner numbering of
 # get_corners_of_cuboid (ops/geometry.py)
 _EDGES = [(0, 1), (1, 3), (3, 2), (2, 0),      # near face
           (4, 5), (5, 6), (6, 7), (7, 4),      # far face
           (0, 4), (1, 5), (3, 6), (2, 7)]      # connectors
 
+# pure-numpy mirror of ops/geometry.py's corner convention (lines 34-59):
+# per-box 8-corner math stays host-side -- dispatching a tiny jnp graph to
+# the ambient backend per rendered box would round-trip the remote-compile
+# tunnel thousands of times per demo video
+_SIGNS_X = np.array([-1, 1, -1, 1, -1, 1, 1, -1], np.float32)
+_SIGNS_Y = np.array([-1, -1, 1, 1, -1, -1, 1, 1], np.float32)
+_SIGNS_Z = np.array([-1, -1, -1, -1, 1, 1, 1, 1], np.float32)
+
 
 def project_cuboid_verts(p2, x3d, y3d, z3d, w3d, h3d, l3d, ry3d):
-    """[8, 2] image-plane vertices + [8] depths of one cuboid."""
-    corners = np.asarray(get_corners_of_cuboid(x3d, y3d, z3d, w3d, h3d,
-                                               l3d, ry3d))
-    proj = np.asarray(project_3d_points(np.asarray(p2), corners))
-    return proj[:2].T, proj[2]
+    """[8, 2] image-plane vertices + [8] depths of one cuboid (numpy;
+    parity with ops/geometry.get_corners_of_cuboid + project_3d_points)."""
+    lx = 0.5 * l3d * _SIGNS_X
+    ly = 0.5 * h3d * _SIGNS_Y
+    lz = 0.5 * w3d * _SIGNS_Z
+    c, s = math.cos(ry3d), math.sin(ry3d)
+    corners = np.stack([c * lx + s * lz + x3d,
+                        ly + y3d,
+                        -s * lx + c * lz + z3d])          # [3, 8]
+    pts4 = np.concatenate([corners, np.ones((1, 8), np.float32)])
+    proj = np.asarray(p2, np.float32) @ pts4
+    z = proj[2]
+    safe = np.where(np.abs(z) > 1e-2, z, 1.0)
+    uv = np.where(np.abs(z) > 1e-2, proj[:2] / safe, proj[:2])
+    return uv.T, z
 
 
 def draw_3d_box(ax, p2, x3d, y3d, z3d, w3d, h3d, l3d, ry3d, color="lime",

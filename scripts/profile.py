@@ -49,15 +49,12 @@ def main():
                                               make_train_step)
 
         cfg = load_config("groomed_nms").replace(compute_dtype="bfloat16")
+        from groomed_nms_tpu.anchors import generate_anchor_templates
         rs = np.random.default_rng(0)
         a = 36
-        templates = np.zeros((a, 4), np.float32)
-        i = 0
-        for s in np.exp(np.linspace(np.log(32), np.log(384), 12)):
-            for ratio in (0.5, 1.0, 1.5):
-                templates[i] = [7.5 - s * ratio / 2, 7.5 - s / 2,
-                                7.5 + s * ratio / 2, 7.5 + s / 2]
-                i += 1
+        templates = generate_anchor_templates(
+            np.exp(np.linspace(np.log(32), np.log(384), 12)),
+            (0.5, 1.0, 1.5), 16)
         priors = np.concatenate(
             [templates, np.abs(rs.normal(size=(a, 7))).astype(np.float32)
              + 1.0], 1)

@@ -13,24 +13,42 @@ import argparse
 import os
 
 
+def _link(src, dst):
+    """Symlink src -> dst, replacing a stale/dangling link; returns whether
+    the source existed (lexists, not exists: a dangling dst from a moved
+    KITTI tree must be repaired, not crash os.symlink)."""
+    if not os.path.exists(src):
+        return False
+    if os.path.lexists(dst):
+        if os.path.islink(dst) and \
+                os.readlink(dst) == os.path.abspath(src):
+            return True
+        os.remove(dst)
+    os.symlink(os.path.abspath(src), dst)
+    return True
+
+
 def link_split(kitti_train, split_dir, ids, split_name):
     out = os.path.join(split_dir, split_name)
     for sub in ("image_2", "calib", "label_2", "prev_2"):
         os.makedirs(os.path.join(out, sub), exist_ok=True)
+    missing = 0
     for iid in ids:
         for sub, ext in (("image_2", ".png"), ("calib", ".txt"),
                          ("label_2", ".txt")):
             src = os.path.join(kitti_train, sub, iid + ext)
-            dst = os.path.join(out, sub, iid + ext)
-            if os.path.exists(src) and not os.path.exists(dst):
-                os.symlink(os.path.abspath(src), dst)
-        # optional multi-frame context (prev_2/<id>_{01..03}.png)
+            if not _link(src, os.path.join(out, sub, iid + ext)):
+                missing += 1
+        # optional multi-frame context (prev_2/<id>_{01..03}.png) -- not
+        # counted as missing: raw KITTI object has no prev_2
         for k in range(1, 4):
             src = os.path.join(kitti_train, "prev_2", f"{iid}_{k:02d}.png")
-            dst = os.path.join(out, "prev_2", f"{iid}_{k:02d}.png")
-            if os.path.exists(src) and not os.path.exists(dst):
-                os.symlink(os.path.abspath(src), dst)
-    print(f"{split_name}: {len(ids)} ids linked under {out}")
+            _link(src, os.path.join(out, "prev_2", f"{iid}_{k:02d}.png"))
+    print(f"{split_name}: {len(ids)} ids linked under {out}"
+          + (f" ({missing} MISSING source files)" if missing else ""))
+    if missing == 3 * len(ids) and ids:
+        raise SystemExit(
+            f"no source files found under {kitti_train} -- wrong --kitti?")
 
 
 def main():

@@ -65,8 +65,9 @@ def main():
         cfg = dataclasses.replace(cfg, eval_single_program=True)
     batch_size = args.batch or cfg.test_batch_size
     out_dir = os.path.join(args.output, cfg.name)
-    results_dir = os.path.join(out_dir, "results",
-                               f"results_{args.restore or 'latest'}")
+    # NOT `args.restore or ...`: --restore 0 is a real checkpoint id
+    tag = "latest" if args.restore is None else args.restore
+    results_dir = os.path.join(out_dir, "results", f"results_{tag}")
     os.makedirs(os.path.join(results_dir, "data"), exist_ok=True)
     logging.basicConfig(
         force=True, level=logging.INFO, format="%(asctime)s %(message)s")
@@ -103,12 +104,47 @@ def main():
                                restore_optimizer=False)
     log.info("restored iter %d", int(state.step))
 
+    sharded = args.num_shards > 1
+    if sharded:
+        # clear this shard's stale done-marker from any previous run
+        marker = os.path.join(results_dir, f".shard_done_{args.shard_index}")
+        if os.path.exists(marker):
+            os.remove(marker)
+
     gt_dir = os.path.join(root, args.split, "label_2")
     test_kitti_3d(
         cfg, model, state.params, state.batch_stats, rois, rois_3d, means,
         stds, imdb, results_dir, gt_dir=gt_dir, batch_size=batch_size,
         log_fn=log.info, render=args.render,
-        skip_eval=args.skip_eval or args.shard_index != 0)
+        skip_eval=args.skip_eval or sharded)
+
+    if sharded:
+        # barrier: every shard marks completion; shard 0 waits for ALL
+        # markers before scoring, so the evaluator never sees a partial
+        # detection set (concurrent shards write into one results_dir)
+        import time
+
+        from groomed_nms_tpu.eval.kitti_eval import \
+            evaluate_kitti_results_verbose
+        with open(marker, "w") as f:
+            f.write(str(len(imdb)))
+        if args.shard_index == 0 and not args.skip_eval:
+            deadline = time.time() + 6 * 3600
+            want = [os.path.join(results_dir, f".shard_done_{i}")
+                    for i in range(args.num_shards)]
+            while not all(os.path.exists(p) for p in want):
+                if time.time() > deadline:
+                    missing = [p for p in want if not os.path.exists(p)]
+                    raise TimeoutError(
+                        f"shards never finished: {missing}")
+                log.info("waiting for %d/%d shards...",
+                         sum(not os.path.exists(p) for p in want),
+                         args.num_shards)
+                time.sleep(5)
+            if os.path.isdir(gt_dir):
+                evaluate_kitti_results_verbose(
+                    results_dir, gt_dir, fast_eval=cfg.fast_eval,
+                    log_fn=log.info)
 
 
 if __name__ == "__main__":

@@ -59,7 +59,9 @@ def main():
              jax.local_device_count())
 
     root = os.path.join(args.data_root, cfg.dataset_test)
-    imdb = build_tracking_imdb(root, "validation")
+    imdb = build_tracking_imdb(root, "validation",
+                               use_3d_for_2d=cfg.use_3d_for_2d,
+                               im_ext=cfg.im_ext)
     if args.limit:
         imdb = imdb[:args.limit]
 

@@ -77,7 +77,8 @@ def main():
     rois_3d = anchors[rois[:, 4].astype(np.int64), 4:]
 
     vcfg = VideoConfig(rpn=cfg.rpn_config(anchors.shape[0]),
-                       score_thres=cfg.score_thres, nms_thres=cfg.nms_thres)
+                       score_thres=cfg.score_thres, nms_thres=cfg.nms_thres,
+                       best_thresh=cfg.best_thresh)
     model = VideoRPN3D(vcfg)
     # shared loading rule (utils/torch_weights.py): trained weights when
     # available (video-stage checkpoint, else single-frame + pose branch);
@@ -99,8 +100,11 @@ def main():
             means.astype(np.float32), stds.astype(np.float32), vcfg)
         return meas[0], valid[0]
 
+    # same association knobs as test_kalman.py's evaluated tracker, so the
+    # rendered demo and the scored tracker agree for a given config
     step_jit = jax.jit(lambda t, m, v: track_step(
-        t, m, v, jnp.zeros(6), p2j, apply_pose=False))
+        t, m, v, jnp.zeros(6), p2j, best_thresh=vcfg.best_thresh,
+        apply_pose=False, match_dist=vcfg.match_dist))
 
     tracks = Tracks.empty(vcfg.max_tracks)
     render_dir = os.path.splitext(args.out)[0] + "_frames"
@@ -144,9 +148,15 @@ def main():
             log.info("rendered %d/%d", fi + 1, len(frames))
 
     # stitch with ffmpeg when available, else leave the frame directory
-    rc = os.system(
-        f"ffmpeg -y -loglevel error -framerate 10 -i {render_dir}/%06d.png "
-        f"-pix_fmt yuv420p {args.out}")
+    # (argument list, not a shell string: paths may contain spaces)
+    import subprocess
+    try:
+        rc = subprocess.run(
+            ["ffmpeg", "-y", "-loglevel", "error", "-framerate", "10",
+             "-i", os.path.join(render_dir, "%06d.png"),
+             "-pix_fmt", "yuv420p", args.out]).returncode
+    except FileNotFoundError:
+        rc = 127
     log.info("frames in %s%s", render_dir,
              f", video at {args.out}" if rc == 0 else " (ffmpeg unavailable)")
 

@@ -214,7 +214,8 @@ def main():
         loader = TrainLoader(imdb, cfg, seed=cfg.rng_seed)
     mesh = create_mesh()
     sharded_step = shard_train_step(step_fn, mesh)
-    tracker = StatTracker(cfg.max_iter, cfg.display)
+    tracker = StatTracker(cfg.max_iter, cfg.display,
+                          start_iter=int(state.step))
     from groomed_nms_tpu.training.stats import MetricsCSV
     metrics_csv = MetricsCSV(os.path.join(out_dir, "metrics.csv"))
     means_img = jnp.asarray(cfg.image_means)
@@ -289,7 +290,7 @@ def main():
         for it in range(start, cfg.max_iter):
             batch = next(batches)
             state, stats = sharded_step(state, batch)
-            tracker.update({k: v for k, v in stats.items()})
+            tracker.update(stats)
 
             if (it + 1) % cfg.display == 0:
                 log.info(tracker.log_line(it + 1, lr=float(schedule(it))))

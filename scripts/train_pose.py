@@ -50,6 +50,8 @@ def main():
     from groomed_nms_tpu.losses.pose import pose_loss
     from groomed_nms_tpu.models.video import VideoConfig, VideoRPN3D
     from groomed_nms_tpu.training import StatTracker, build_lr_schedule
+    from groomed_nms_tpu.training.freeze import freeze_mask, wrap_with_freeze
+    from groomed_nms_tpu.utils.torch_weights import load_video_variables
 
     cfg = load_config(args.config)
     if args.max_iter:
@@ -64,6 +66,8 @@ def main():
 
     root = os.path.join(args.data_root, cfg.dataset_train)
     imdb = build_tracking_imdb(root, "training",
+                               use_3d_for_2d=cfg.use_3d_for_2d,
+                               im_ext=cfg.im_ext,
                                cache_file=os.path.join(out_dir, "imdb.pkl"))
     imdb = [r for r in imdb if "10" in r.egos]
     log.info("tracking imdb with poses: %d", len(imdb))
@@ -71,22 +75,33 @@ def main():
     np.savez(os.path.join(out_dir, "pose_stats.npz"), means=pose_means,
              stds=pose_stds)
 
-    vcfg = VideoConfig(rpn=cfg.rpn_config(36))
+    # anchor count from the detector training run's artifacts (the model
+    # being restored below was built with it; 36 for reference configs)
+    from groomed_nms_tpu.data.pipeline import prepare_anchors, \
+        resolve_stats_dir
+    main_out_dir = os.path.join(args.output, cfg.name)
+    anchors, _, _ = prepare_anchors(
+        cfg, [], cache_dir=resolve_stats_dir(cfg, main_out_dir))
+    vcfg = VideoConfig(rpn=cfg.rpn_config(anchors.shape[0]))
     model = VideoRPN3D(vcfg)
-    rng = jax.random.PRNGKey(cfg.rng_seed)
-    dummy = jnp.zeros((1, 2, cfg.crop_size[0], cfg.crop_size[1], 3))
-    variables = model.init(rng, dummy, train=False)
+    # PoseNet consumes TRUNK FEATURES, so the pose branch must be fit
+    # against the trained detector's features, not a random trunk
+    # (reference train_pose.py restores the pretrained detector first).
+    # load_video_variables applies the same warm-start rule as
+    # scripts/train.py: <output>/<name> checkpoint, else cfg.pretrained
+    # (widened for velocity), warning loudly on random init -- and inits
+    # at tiny spatial size (param shapes are H/W-free).
+    variables, _, _, _ = load_video_variables(
+        model, cfg, main_out_dir, log=log)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
     # optimise ONLY the pose branch (trunk frozen, reference train_pose.py)
-    label_fn = lambda p: jax.tree_util.tree_map_with_path(
-        lambda path, _: "train" if "pose_net" in str(path[0]) else "freeze", p)
-    tx = optax.multi_transform(
-        {"train": optax.sgd(build_lr_schedule(cfg.lr, cfg.max_iter),
-                            momentum=cfg.momentum),
-         "freeze": optax.set_to_zero()},
-        label_fn)
+    labels = freeze_mask(params, trainable_substrings=("pose_net",))
+    tx = wrap_with_freeze(
+        optax.sgd(build_lr_schedule(cfg.lr, cfg.max_iter),
+                  momentum=cfg.momentum),
+        labels)
     opt_state = tx.init(params)
 
     @jax.jit
@@ -135,7 +150,7 @@ def main():
         images = flat.reshape(b, f, cfg.crop_size[0], cfg.crop_size[1], 3)
         params, opt_state, l, stats = step(
             params, opt_state, images, jnp.asarray(np.stack(targets)))
-        tracker.update({k: float(v) for k, v in stats.items()})
+        tracker.update(stats)
         if (it + 1) % cfg.display == 0:
             log.info(tracker.log_line(it + 1))
             tracker.reset()

@@ -129,3 +129,22 @@ def test_project_3d_box_contains_center():
     u, v = center[0, 0], center[1, 0]
     assert box[0, 0] < u < box[0, 2]
     assert box[0, 1] < v < box[0, 3]
+
+
+def test_vis_cuboid_projection_matches_geometry_ops(rng):
+    """utils/vis.py's host-side numpy cuboid projection must stay in
+    lockstep with ops/geometry's corner convention + projection."""
+    from groomed_nms_tpu.utils.vis import project_cuboid_verts
+    p2 = _kitti_like_p2()
+    for _ in range(5):
+        x, y, z = rng.uniform(-15, 15), rng.uniform(-1, 2), \
+            rng.uniform(5, 50)
+        w, h, l = rng.uniform(0.5, 3), rng.uniform(0.5, 3), \
+            rng.uniform(1, 6)
+        ry = rng.uniform(-np.pi, np.pi)
+        verts, depth = project_cuboid_verts(p2, x, y, z, w, h, l, ry)
+        corners = get_corners_of_cuboid(x, y, z, w, h, l, ry)
+        want = np.asarray(project_3d_points(jnp.asarray(p2),
+                                            jnp.asarray(corners)))
+        np.testing.assert_allclose(verts, want[:2].T, atol=1e-3)
+        np.testing.assert_allclose(depth, want[2], atol=1e-4)

@@ -82,6 +82,29 @@ def test_decode_and_nms_shapes(decode_setup):
         assert (np.diff(kept) <= 1e-6).all()
 
 
+def test_use_un_for_score_knob(decode_setup):
+    """use_un_for_score=False ranks by the fused score but WRITES the raw
+    class score (reference rpn_util.py:1524-1526 only folds un into the
+    written score under the flag); the default writes the fused score."""
+    s = decode_setup
+    outputs = _fake_outputs(s["rng"], s["b"], s["r"])
+    args = (s["rois"], s["rois_3d"], jnp.asarray(s["p2"]),
+            jnp.asarray(np.linalg.inv(s["p2"])), jnp.ones((s["b"],)),
+            jnp.zeros(13), jnp.ones(13))
+    raw = np.asarray(outputs["prob"][..., 1:]).max(-1)
+    fused = raw * np.asarray(outputs["accept_prob"])
+
+    d_on, sc_on = decode_detections(
+        outputs, *args, DetectConfig(nms_topN_pre=64))
+    np.testing.assert_allclose(np.asarray(d_on)[..., 4], fused, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sc_on), fused, rtol=1e-5)
+
+    d_off, sc_off = decode_detections(
+        outputs, *args, DetectConfig(nms_topN_pre=64, use_un_for_score=False))
+    np.testing.assert_allclose(np.asarray(d_off)[..., 4], raw, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sc_off), fused, rtol=1e-5)
+
+
 def test_greedy_nms_suppresses_duplicates(decode_setup):
     """Two near-identical high-score boxes -> only one survives NMS."""
     s = decode_setup
