@@ -30,28 +30,30 @@ def collect_matches(results_data_dir, gt_dir, cls="Car", score_thresh=0.0,
     """(scores, best IoU3D, gt occlusion) per detection above threshold."""
     from groomed_nms_tpu.ops.iou3d_exact import iou3d_exact
 
-    scores, ious, occs = [], [], []
+    scores, ious = [], []
     for name in sorted(os.listdir(results_data_dir)):
-        dets = _rows(os.path.join(results_data_dir, name))
+        dets = _rows(os.path.join(results_data_dir, name), min_cols=16)
         gts = _rows(os.path.join(gt_dir, name))
-        gt_boxes = [((v[10], v[11] - v[7] / 2, v[12], v[8], v[7], v[9],
-                      v[13]), v[1])
-                    for c, v in gts if c.lower() == cls.lower()]
+        # match against VISIBLE ground truth only (occlusion state <= 2,
+        # filtered BEFORE matching): a detection overlapping a heavily-
+        # occluded GT is scored against its best visible GT (possibly 0),
+        # never silently dropped
+        gt_boxes = [(v[10], v[11] - v[7] / 2, v[12], v[8], v[7], v[9],
+                     v[13])
+                    for c, v in gts
+                    if c.lower() == cls.lower() and v[1] <= 2]
         for c, v in dets:
             if c.lower() != cls.lower() or v[14] <= score_thresh or \
                     v[12] > depth_thresh:
                 continue
             det_box = (v[10], v[11] - v[7] / 2, v[12], v[8], v[7], v[9],
                        v[13])
-            best_iou, best_occ = 0.0, -1
-            for g, occ in gt_boxes:
-                i3 = iou3d_exact(det_box, g)
-                if i3 > best_iou:
-                    best_iou, best_occ = i3, occ
+            best_iou = 0.0
+            for g in gt_boxes:
+                best_iou = max(best_iou, iou3d_exact(det_box, g))
             scores.append(v[14])
             ious.append(best_iou)
-            occs.append(best_occ)
-    return np.asarray(scores), np.asarray(ious), np.asarray(occs)
+    return np.asarray(scores), np.asarray(ious)
 
 
 def main():
@@ -82,10 +84,8 @@ def main():
     for rd, label in zip(args.results, labels):
         data_dir = os.path.join(rd, "data") if \
             os.path.isdir(os.path.join(rd, "data")) else rd
-        scores, ious, occs = collect_matches(
+        scores, ious = collect_matches(
             data_dir, args.gt, args.cls, args.score, args.depth)
-        vis = occs <= 2   # reference keeps occlusion states 0..2
-        scores, ious = scores[vis], ious[vis]
         which = np.digitize(ious, bins) - 1
         means = [scores[which == b].mean() if (which == b).any() else np.nan
                  for b in range(args.bins)]

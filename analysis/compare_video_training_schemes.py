@@ -156,8 +156,12 @@ def run(iters=80, batch=4, seed=0, log=print, schemes=("direct", "fused"),
             upd, o = tx.update(grads, o, p)
             return optax.apply_updates(p, upd), o, l
 
+        # per-scheme rng with a FIXED seed: every scheme must train on the
+        # same synthetic batch sequence, or the A/B divergence confounds
+        # scheme choice with training-data draw (and depends on run order)
+        srng = np.random.default_rng(seed + 1)
         for it in range(iters):
-            images, ego, meas, mvalid, gts = build_batch(rng, batch, p2)
+            images, ego, meas, mvalid, gts = build_batch(srng, batch, p2)
             params, opt, l = step(params, opt, jnp.asarray(images),
                                   jnp.asarray(ego), jnp.asarray(meas),
                                   jnp.asarray(mvalid), jnp.asarray(gts))
@@ -185,14 +189,18 @@ def run(iters=80, batch=4, seed=0, log=print, schemes=("direct", "fused"),
             if not tv.any():
                 continue
             d = np.linalg.norm(X[tv, None, :3] - gts[bi][None], axis=-1)
-            center_err.append(d.min(axis=0).mean())
+            # per-object errors (not per-sequence means): the RMSE below
+            # is then a real RMSE, unskewed by unequal track counts
+            center_err.extend(d.min(axis=0).tolist())
             # objects are static in the world: after correct ego
             # compensation the along-heading velocity state is ~0
-            vel_err.append(np.abs(X[tv, 8]).mean())
+            vel_err.extend(np.abs(X[tv, 8]).tolist())
+        # None (JSON null) when no tracks survived -- NaN is invalid JSON
         return dict(pose_tz_mae=pose_mae,
                     track_center_rmse=float(np.sqrt(np.mean(
-                        np.square(center_err)))),
-                    track_vel_mae=float(np.mean(vel_err)))
+                        np.square(center_err)))) if center_err else None,
+                    track_vel_mae=float(np.mean(vel_err))
+                    if vel_err else None)
 
     results = {}
     for scheme in schemes:

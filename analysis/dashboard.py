@@ -28,23 +28,39 @@ def read_metrics(path):
     cols = {k: [] for k in header}
     for r in data:
         # the trainer appends while we read: skip short/garbled rows (a
-        # partially-flushed last line) instead of crashing or going ragged
+        # partially-flushed last line).  Cells are tolerated PER CELL:
+        # MetricsCSV writes an empty cell for a stat missing from a
+        # logging window, which must not drop the whole row
         if len(r) != len(header):
             continue
         try:
-            vals = [float(v) for v in r]
+            it = float(r[0])
         except ValueError:
             continue
+        vals = [it]
+        for v in r[1:]:
+            try:
+                vals.append(float(v))
+            except ValueError:
+                vals.append(None)
         for k, v in zip(header, vals):
             cols[k].append(v)
     return header, cols
+
+
+def _last(vals):
+    """Latest non-missing value of a column (None if all missing)."""
+    for v in reversed(vals):
+        if v is not None:
+            return v
+    return None
 
 
 def group_of(key):
     if key.startswith("acc") or key.endswith("_acc"):
         return "accuracy"
     if key in ("fg_num", "bg_num", "lr") or key.endswith("_num") \
-            or key in ("cen_dist", "rot_err", "iou_2d"):
+            or key in ("cen_dist", "rot_err", "iou_2d", "z_err"):
         return "misc"
     return "loss"
 
@@ -112,7 +128,9 @@ function ticks(lo, hi){
   return out;
 }
 for (const chart of document.querySelectorAll('[data-key]')){
-  const key = chart.dataset.key, xs = D.iter, ys = D.cols[key];
+  const key = chart.dataset.key,
+        xs = D.series[key].x, ys = D.series[key].y;
+  if (!xs.length) continue;
   const W = 340, H = 130, L = 46, R = 12, T = 8, B = 20;
   const lo = Math.min(...ys), hi = Math.max(...ys);
   const x = v => L + (W-L-R) * (xs.length < 2 ? 0.5 :
@@ -176,12 +194,12 @@ def render(header, cols, conf_text, run_name):
                 f'</div><div class="value">{html.escape(value)}</div></div>')
 
     kpis = [tile("Iteration", f"{int(it[-1]):,}")]
-    if "total" in cols:
-        kpis.append(tile("Total loss", f"{cols['total'][-1]:.4g}"))
-    if "lr" in cols:
-        kpis.append(tile("Learning rate", f"{cols['lr'][-1]:.3g}"))
-    if "acc_fg" in cols:
-        kpis.append(tile("Foreground acc", f"{cols['acc_fg'][-1]:.3f}"))
+    if _last(cols.get("total", [])) is not None:
+        kpis.append(tile("Total loss", f"{_last(cols['total']):.4g}"))
+    if _last(cols.get("lr", [])) is not None:
+        kpis.append(tile("Learning rate", f"{_last(cols['lr']):.3g}"))
+    if _last(cols.get("acc_fg", [])) is not None:
+        kpis.append(tile("Foreground acc", f"{_last(cols['acc_fg']):.3f}"))
 
     sections = []
     for gname in ("loss", "accuracy", "misc"):
@@ -189,16 +207,17 @@ def render(header, cols, conf_text, run_name):
             continue
         cards = "".join(
             f'<div class="card" ><div class="name">{html.escape(k)}</div>'
-            f'<div class="latest">latest {cols[k][-1]:.4g}</div>'
+            f'<div class="latest">latest {_last(cols[k]):.4g}</div>'
             f'<div data-key="{html.escape(k)}"></div></div>'
-            for k in groups[gname])
+            for k in groups[gname] if _last(cols[k]) is not None)
         sections.append(f"<h2>{gname}</h2><div class='grid'>{cards}</div>")
 
     tail = min(len(it), 50)
     thead = "".join(f"<th>{html.escape(k)}</th>" for k in header)
     trows = "".join(
         "<tr>" + "".join(
-            f"<td>{cols[k][i]:.5g}</td>" for k in header) + "</tr>"
+            f"<td>{cols[k][i]:.5g}</td>" if cols[k][i] is not None
+            else "<td></td>" for k in header) + "</tr>"
         for i in range(len(it) - tail, len(it)))
     table = (f"<details><summary>Data (last {tail} rows)</summary>"
              f"<table><tr>{thead}</tr>{trows}</table></details>")
@@ -207,7 +226,13 @@ def render(header, cols, conf_text, run_name):
         conf_panel = (f"<details><summary>Configuration</summary>"
                       f"<pre>{html.escape(conf_text)}</pre></details>")
 
-    data = json.dumps({"iter": it, "cols": {k: cols[k] for k in keys}})
+    # per-series (x, y) with missing cells dropped -- series may have gaps
+    # at different iterations, so each carries its own x axis
+    series = {}
+    for k in keys:
+        pairs = [(it[i], v) for i, v in enumerate(cols[k]) if v is not None]
+        series[k] = {"x": [p[0] for p in pairs], "y": [p[1] for p in pairs]}
+    data = json.dumps({"iter": it, "series": series})
     return f"""<!doctype html><html><head><meta charset="utf-8">
 <title>{html.escape(run_name)} — training dashboard</title>
 <style>{CSS}</style></head>

@@ -21,6 +21,10 @@ import numpy as np
 
 
 def _rows(path, min_cols=15):
+    """KITTI txt rows.  DETECTION files carry 16 tokens (trailing score,
+    indexed as v[14]) -- pass min_cols=16 for those so a GT-format file or
+    a truncated line is skipped instead of crashing on the score index;
+    ground-truth label files have 15 (the default)."""
     out = []
     if not os.path.exists(path):
         return out
@@ -45,7 +49,7 @@ def main():
     scores, ious, z_errs, rot_errs, matched = [], [], [], [], 0
     n_gt = 0
     for name in sorted(os.listdir(args.results)):
-        dets = _rows(os.path.join(args.results, name))
+        dets = _rows(os.path.join(args.results, name), min_cols=16)
         gts = _rows(os.path.join(args.gt, name))
         # GT rows: trunc occ alpha x1 y1 x2 y2 h w l x y z ry
         gt_boxes = [(v[10], v[11] - v[7] / 2, v[12], v[8], v[7], v[9], v[13])

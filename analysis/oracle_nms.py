@@ -20,13 +20,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import numpy as np
 
 
-def _load_rows(path):
+def _load_rows(path, min_cols=16):
+    """Parse KITTI txt rows.  Detections carry 16 tokens (15 values + the
+    trailing score); GROUND-TRUTH label files have exactly 15 (no score) --
+    pass min_cols=15 for those or every GT line is silently dropped and
+    the oracle rescoring zeroes all scores."""
     rows = []
     with open(path) as f:
         for line in f:
             p = line.split()
-            if len(p) >= 16:
-                rows.append((p[0], [float(v) for v in p[1:16]]))
+            if len(p) >= min_cols:
+                vals = [float(v) for v in p[1:16]]
+                vals += [0.0] * (16 - len(p))  # pad absent score for GT
+                rows.append((p[0], vals))
     return rows
 
 
@@ -43,7 +49,7 @@ def oracle_rescore(results_dir, gt_dir, out_dir, mode="2d"):
     data_dir = os.path.join(results_dir, "data")
     for name in sorted(os.listdir(data_dir)):
         dets = _load_rows(os.path.join(data_dir, name))
-        gts = _load_rows(os.path.join(gt_dir, name)) \
+        gts = _load_rows(os.path.join(gt_dir, name), min_cols=15) \
             if os.path.exists(os.path.join(gt_dir, name)) else []
         lines = []
         for cls, v in dets:

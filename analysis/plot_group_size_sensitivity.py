@@ -76,10 +76,21 @@ def _collect_from_results(results_dirs, gt_dir):
             res = None
             for metric in ("detection_3d", "detection_ground"):
                 path = os.path.join(rd, f"stats_car_{metric}.txt")
-                if overlaps[0] == 0.7 and os.path.exists(path):
-                    row += list(parse_stats_file(path))
-                    continue
                 if gt_dir is None:
+                    # at-rest stats are a LAST RESORT: the standard eval
+                    # flow (evaluate_kitti_results_verbose) finishes with
+                    # an in-place side pass at (0.5, 0.3, 0.3) that
+                    # rewrites stats_car_*.txt, so the files on disk may
+                    # not hold the 0.7 curve at all.  Re-evaluating in a
+                    # mirror (needs --gt) is the only trustworthy path.
+                    if overlaps[0] == 0.7 and os.path.exists(path):
+                        import warnings
+                        warnings.warn(
+                            f"{path}: using at-rest stats without --gt; "
+                            "these may be a 0.5-overlap side pass, pass "
+                            "--gt to re-evaluate trustworthily")
+                        row += list(parse_stats_file(path))
+                        continue
                     raise SystemExit(f"need --gt to evaluate {rd} at "
                                      f"overlap {overlaps[0]}")
                 if res is None:   # one evaluator run covers both metrics

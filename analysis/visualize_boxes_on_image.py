@@ -95,7 +95,8 @@ def main():
                 draw_2d_box(ax, v[3:7], color=color,
                             text=f"z={v[12]:.1f}")
 
-        for j, (c, v) in enumerate(_rows(os.path.join(data_dir, name))):
+        for j, (c, v) in enumerate(_rows(os.path.join(data_dir, name),
+                                         min_cols=16)):
             if c.lower() not in wanted or v[14] < args.score:
                 continue
             x1, y1, x2, y2 = v[3:7]

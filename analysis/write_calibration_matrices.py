@@ -61,7 +61,11 @@ def main():
     if not images:
         raise SystemExit(f"no {args.im_ext} images under {image_dir}")
     for i, path in enumerate(images):
-        base = os.path.basename(path).replace(args.im_ext, "")
+        # strip ONLY the trailing extension (str.replace would eat every
+        # occurrence, corrupting names like 0000000012.png.png)
+        base = os.path.basename(path)
+        if base.endswith(args.im_ext):
+            base = base[:-len(args.im_ext)]
         with open(os.path.join(calib_dir, base + ".txt"), "w") as f:
             f.write(line + "\n")
         np.save(os.path.join(p2_dir, base + ".npy"), p)

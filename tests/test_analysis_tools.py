@@ -1,0 +1,102 @@
+"""Host-side analysis tooling: KITTI txt parsing conventions + matching.
+
+Regression coverage for the analysis-suite review findings: GT label files
+have 15 tokens (no score) while detection files have 16; oracle rescoring
+must actually see the GT; calibration-curve matching is against visible
+ground truth only.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "analysis"))
+
+GT_LINE = ("Car 0.00 {occ} -1.55 100.0 120.0 200.0 180.0 "
+           "1.50 1.60 3.90 {x} 1.65 {z} -1.60")
+DET_LINE = ("Car -1 -1 -1.55 100.0 120.0 200.0 180.0 "
+            "1.50 1.60 3.90 {x} 1.65 {z} -1.60 {score}")
+
+
+def _write(path, lines):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_oracle_nms_parses_15_token_gt(tmp_path):
+    """KITTI GT lines carry 15 tokens; the oracle must not drop them (the
+    bug zeroed every rescored detection)."""
+    from oracle_nms import _load_rows, oracle_rescore
+
+    gt = tmp_path / "label_2"
+    res = tmp_path / "results"
+    _write(str(gt / "000000.txt"),
+           [GT_LINE.format(occ=0, x=2.0, z=20.0)])
+    _write(str(res / "data" / "000000.txt"),
+           [DET_LINE.format(x=2.0, z=20.0, score=0.9)])
+
+    assert len(_load_rows(str(gt / "000000.txt"), min_cols=15)) == 1
+    assert _load_rows(str(gt / "000000.txt"))== []  # 16-token default
+
+    out = tmp_path / "oracle"
+    oracle_rescore(str(res), str(gt), str(out), mode="2d")
+    row = open(str(out / "data" / "000000.txt")).read().split()
+    # identical 2D box -> oracle score 1.0, NOT the 0.0 of dropped GT
+    assert abs(float(row[15]) - 1.0) < 1e-6
+
+
+def test_detection_stats_rows_min_cols(tmp_path):
+    from detection_stats import _rows
+
+    p = str(tmp_path / "d.txt")
+    _write(p, [GT_LINE.format(occ=0, x=0.0, z=10.0)])       # 15 tokens
+    assert len(_rows(p)) == 1
+    assert _rows(p, min_cols=16) == []   # GT file is not a results file
+
+
+def test_compare_vis_matches_visible_gt_only(tmp_path):
+    """Occlusion filter applies to the GT pool BEFORE matching: a det over
+    an occluded GT scores against its best visible GT (possibly 0)."""
+    from compare_performance_on_vis import collect_matches
+
+    gt = tmp_path / "label_2"
+    res = tmp_path / "data"
+    # one heavily-occluded GT exactly at the detection, one visible far GT
+    _write(str(gt / "000000.txt"),
+           [GT_LINE.format(occ=3, x=2.0, z=20.0),
+            GT_LINE.format(occ=1, x=-5.0, z=40.0)])
+    _write(str(res / "000000.txt"),
+           [DET_LINE.format(x=2.0, z=20.0, score=0.8)])
+    scores, ious = collect_matches(str(res), str(gt))
+    # the detection is KEPT (not dropped for overlapping occluded GT) and
+    # its IoU is vs the visible GT only -> 0
+    assert len(scores) == 1 and scores[0] == 0.8
+    assert ious[0] == 0.0
+
+    # same det with the occluded GT now visible -> near-perfect match
+    _write(str(gt / "000000.txt"),
+           [GT_LINE.format(occ=1, x=2.0, z=20.0)])
+    scores, ious = collect_matches(str(res), str(gt))
+    assert ious[0] > 0.95
+
+
+def test_dashboard_tolerates_empty_cells(tmp_path):
+    """MetricsCSV writes empty cells for stats missing from a window; the
+    dashboard must keep the row's other columns (per-cell tolerance) and
+    carry per-series x axes for the gapped key."""
+    from dashboard import _last, read_metrics
+
+    p = tmp_path / "metrics.csv"
+    with open(p, "w") as f:
+        f.write("iter,a,b\n")
+        f.write("100,1.0,2.0\n")
+        f.write("200,1.5,\n")          # b missing this window
+        f.write("300,2.0,4.0\n")
+    header, cols = read_metrics(str(p))
+    assert cols["iter"] == [100.0, 200.0, 300.0]
+    assert cols["a"] == [1.0, 1.5, 2.0]
+    assert cols["b"] == [2.0, None, 4.0]
+    assert _last(cols["b"]) == 4.0
