@@ -269,6 +269,7 @@ class TrainLoader:
             [self.weights[g].sum() for g in self._size_groups])
         self._group_w = self._group_w / self._group_w.sum()
         self._q = queue.Queue(maxsize=prefetch)
+        self._stop = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -331,15 +332,40 @@ class TrainLoader:
             img_arr[bi, :im.shape[0], :im.shape[1]] = im
         return self._finish_batch(img_arr, gts_list, p2s, scales, mirrors)
 
+    def _put(self, item):
+        # bounded-blocking put that honours close(): a plain q.put would
+        # leave the worker blocked forever once the consumer goes away
+        while not self._stop:
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self):
-        while True:
+        while not self._stop:
             try:
                 item = self._make_batch()
             except BaseException as e:  # propagate through the queue: a
                 # silently-dead daemon thread would hang __next__ forever
-                self._q.put(("error", e))
+                self._put(("error", e))
                 return
-            self._q.put(("batch", item))
+            if not self._put(("batch", item)):
+                return
+
+    def close(self):
+        """Stop the prefetch worker and release its queue slots.  Training
+        runs live for the process lifetime, but short-lived consumers
+        (tests, snapshot tools) should close to avoid accumulating parked
+        daemon threads."""
+        self._stop = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
 
     def __next__(self):
         kind, item = self._q.get()

@@ -144,6 +144,7 @@ def test_train_loader_batches(mini_kitti):
     assert gt.gts_2d.shape == (2, 16, 4)
     assert gt.gt_valid.sum() > 0
     assert gt.p2.shape == (2, 4, 4)
+    loader.close()
 
 
 def test_preprocess_images_device():
@@ -248,3 +249,4 @@ def test_loader_worker_error_propagates(mini_kitti):
     loader = TrainLoader(bad, cfg, seed=0)
     with pytest.raises(RuntimeError, match="TrainLoader worker failed"):
         next(loader)
+    loader.close()

@@ -504,6 +504,7 @@ def test_aploss_matches_reference(ref):
     from groomed_nms_tpu.losses.aploss import ap_loss
     rng = np.random.default_rng(9)
     grad_fn = jax.jit(jax.value_and_grad(ap_loss))
+    pad_n = 80   # ONE compiled graph: pad every case with -1 (ignored)
     for case in range(100):
         n = int(rng.integers(4, 80))
         logits = rng.normal(0, 2.0, n).astype(np.float32)
@@ -516,14 +517,22 @@ def test_aploss_matches_reference(ref):
         r_loss = ref.aploss.APLoss()(t_logits,
                                      torch.from_numpy(targets.copy()))
         r_loss.backward()
-        o_loss, o_grad = grad_fn(jnp.asarray(logits), jnp.asarray(targets))
+        # fixed-shape padding also PROVES the padded-invariance contract
+        # the capped rank-mode call site (losses/rpn_3d.py) relies on:
+        # -1-target rows must not change the loss or real rows' grads
+        lp = np.concatenate([logits, rng.normal(0, 2.0, pad_n - n)
+                             .astype(np.float32)])
+        tp = np.concatenate([targets, np.full(pad_n - n, -1.0, np.float32)])
+        o_loss, o_grad = grad_fn(jnp.asarray(lp), jnp.asarray(tp))
         np.testing.assert_allclose(float(o_loss), float(r_loss.item()),
                                    rtol=1e-4, atol=1e-5,
                                    err_msg=f"case={case} loss")
-        np.testing.assert_allclose(np.asarray(o_grad),
+        np.testing.assert_allclose(np.asarray(o_grad)[:n],
                                    t_logits.grad.numpy(),
                                    rtol=1e-3, atol=1e-5,
                                    err_msg=f"case={case} grad")
+        np.testing.assert_allclose(np.asarray(o_grad)[n:], 0.0, atol=1e-7,
+                                   err_msg=f"case={case} pad grad")
 
 
 # ---------------------------------------------------------------------------

@@ -120,6 +120,29 @@ def test_train_then_test_scripts(tmp_path):
     assert train.stdout or True  # logs captured
     assert stats or "evaluated" in test.stdout + test.stderr
 
+    # sharded eval fan-out: two CONCURRENT shard processes into one
+    # results dir; shard 0 must wait for shard 1's completion marker
+    # before scoring (never evaluate a partial detection set)
+    shard_common = [sys.executable, os.path.join(REPO, "scripts", "test.py"),
+                    "--config", "tiny_synthetic",
+                    "--data-root", str(data_root), "--output", str(out_root),
+                    "--num-shards", "2"]
+    p1 = subprocess.Popen(shard_common + ["--shard-index", "1"],
+                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                          text=True, env=env, cwd=str(tmp_path))
+    p0 = subprocess.Popen(shard_common + ["--shard-index", "0"],
+                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                          text=True, env=env, cwd=str(tmp_path))
+    _, e1 = p1.communicate(timeout=1200)
+    _, e0 = p0.communicate(timeout=1200)
+    assert p1.returncode == 0, e1[-3000:]
+    assert p0.returncode == 0, e0[-3000:]
+    shard_res = out_root / "tiny_synthetic" / "results" / "results_latest"
+    assert len(list((shard_res / "data").iterdir())) == 4, \
+        "all shards' txts must be present"
+    assert (shard_res / ".shard_done_0").is_file()
+    assert (shard_res / ".shard_done_1").is_file()
+
     # deployment tail: export the trained checkpoint as an AOT artifact
     # (self-verified), then serve it over the val images with no model code
     exp = subprocess.run(

@@ -152,6 +152,7 @@ def test_tracking_pipeline_end_to_end(tmp_path):
         assert np.isfinite(float(stats["total"]))
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+    loader.close()
 
 
 def test_widen_fused_head_for_velocity():
@@ -228,6 +229,7 @@ def test_clip_loader_fills_missing_history(tmp_path):
     # history frame == current frame when prev is missing
     np.testing.assert_array_equal(batch["images_u8"][:, 0],
                                   batch["images_u8"][:, 1])
+    loader.close()
 
 
 def test_has_vel_requires_decomp_alpha():
