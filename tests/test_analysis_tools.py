@@ -83,6 +83,70 @@ def test_compare_vis_matches_visible_gt_only(tmp_path):
     assert ious[0] > 0.95
 
 
+def test_plot_prediction_error_collection(tmp_path):
+    """plot_prediction_with_ground_truth matching semantics: DontCare GTs
+    (z3d == -1000) are dropped before matching, matches need IoU2D > 0.4,
+    and the exact IoU3D of the matched pair is recorded.  A second call hits
+    the npz cache."""
+    from plot_prediction_with_ground_truth import binned_curve, collect_errors
+
+    gt = tmp_path / "results" / "label_2"
+    res = tmp_path / "results" / "data"
+    dontcare = ("DontCare -1 -1 -10 300.0 120.0 400.0 180.0 "
+                "-1 -1 -1 -1000 -1000 -1000 -10")
+    _write(str(gt / "000000.txt"),
+           [GT_LINE.format(occ=0, x=2.0, z=20.0), dontcare])
+    _write(str(res / "000000.txt"),
+           [DET_LINE.format(x=2.0, z=20.0, score=0.9),
+            # overlaps only the DontCare box -> no valid match
+            "Car -1 -1 -1.55 300.0 120.0 400.0 180.0 "
+            "1.50 1.60 3.90 8.0 1.65 30.0 -1.60 0.5"])
+    e = collect_errors(str(res), str(gt))
+    assert e["score"].shape == (1,) and e["score"][0] == 0.9
+    assert e["iou2d"][0] > 0.99 and e["iou3d"][0] > 0.99
+    assert e["z_err"][0] == 0.0
+
+    # cache: rewrite the det file with garbage; cached arrays still served
+    _write(str(res / "000000.txt"), [DET_LINE.format(x=9.0, z=90.0,
+                                                     score=0.1)])
+    e2 = collect_errors(str(res), str(gt))
+    assert e2["score"][0] == 0.9
+
+    # binning: per-bin mean of x and y, empty bins skipped
+    x = np.array([0.05, 0.15, 0.95])
+    y = np.array([0.2, 0.4, 1.0])
+    xs, ys = binned_curve(x, y, np.array([0.0, 0.1, 0.2, 1.01]))
+    assert np.allclose(xs, [0.05, 0.15, 0.95])
+    assert np.allclose(ys, [0.2, 0.4, 1.0])
+
+
+def test_gt_distribution_depths(tmp_path):
+    """plot_gt_distribution filters like training (ignore/remove) and reads
+    bbox_3d col 9 (cz3d)."""
+    from plot_gt_distribution import split_depths
+
+    from groomed_nms_tpu.config import ExperimentConfig
+
+    root = str(tmp_path)
+    for sub in ("image_2", "calib", "label_2"):
+        os.makedirs(os.path.join(root, "training", sub), exist_ok=True)
+    from PIL import Image
+    Image.fromarray(np.zeros((370, 1224, 3), np.uint8)).save(
+        os.path.join(root, "training", "image_2", "000000.png"))
+    with open(os.path.join(root, "training", "calib", "000000.txt"),
+              "w") as f:
+        f.write("P2: 721.5 0.0 609.5 44.85 0.0 721.5 172.8 0.2163 "
+                "0.0 0.0 1.0 0.002745\n")
+    _write(os.path.join(root, "training", "label_2", "000000.txt"),
+           [GT_LINE.format(occ=0, x=2.0, z=20.0),      # kept
+            GT_LINE.format(occ=0, x=2.0, z=35.0),      # kept
+            # Van is an ignore class -> excluded from the histogram
+            GT_LINE.format(occ=0, x=0.0, z=50.0).replace("Car", "Van")])
+    cfg = ExperimentConfig(min_gt_vis=0.0, percent_anc_h=(0.0, 10.0))
+    d = split_depths(root, "training", cfg)
+    assert sorted(d.tolist()) == [20.0, 35.0]
+
+
 def test_dashboard_tolerates_empty_cells(tmp_path):
     """MetricsCSV writes empty cells for stats missing from a window; the
     dashboard must keep the row's other columns (per-cell tolerance) and

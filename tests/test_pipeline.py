@@ -204,7 +204,9 @@ def test_config_modules_load():
         os.path.abspath(__file__))))
     for name in ("groomed_nms", "kitti_3d_warmup", "self_balancing",
                  "kitti_3d_uncertainty", "kitti_3d_full",
-                 "groomed_nms_full_train_2"):
+                 "groomed_nms_full_train_2", "kitti_3d_warmup_full_train",
+                 "kitti_3d_warmup_full_train_2",
+                 "kitti_3d_uncertainty_split2"):
         cfg = load_config(name)
         assert cfg.name == name
         lc = cfg.loss_config()
@@ -215,6 +217,15 @@ def test_config_modules_load():
     assert g.use_nms_in_loss and g.predict_acceptance_prob
     w = load_config("kitti_3d_warmup")
     assert not w.use_nms_in_loss and w.max_iter == 80000
+    # trainval warmups: full KITTI annotations, no validation stage;
+    # the _2 variant doubles the schedule (reference
+    # kitti_3d_warmup_full_train[_2].py)
+    wf = load_config("kitti_3d_warmup_full_train")
+    assert wf.dataset_train == "kitti" and not wf.do_test
+    assert load_config("kitti_3d_warmup_full_train_2").max_iter == 160000
+    us2 = load_config("kitti_3d_uncertainty_split2")
+    assert us2.dataset_train == "kitti_split2" and us2.has_un
+    assert us2.pretrained.endswith("kitti_3d_warmup_split2")
     # ablations flip exactly one knob each
     from configs.ablations import ALL
     base = g
