@@ -34,9 +34,11 @@ def split_depths(root, split, cfg):
         # test_scale (lib/imdb_util.py scales at load); reproduce by scaling
         # the height gate comparison instead of the boxes
         scale = cfg.test_scale / rec.im_h
+        # no max_gt_h gate: the reference plot (and this repo's training
+        # filter) leave it at its huge default
         igns, rmvs = determine_ignores(gts, list(cfg.lbls), list(cfg.ilbls),
                                        cfg.min_gt_vis, cfg.min_gt_h,
-                                       cfg.max_gt_h, scale_factor=scale)
+                                       scale_factor=scale)
         keep = ~(igns | rmvs)
         # bbox_3d col 9 = cz3d (camera depth), reference layout
         depths.extend(gts["bbox_3d"][keep, 9].tolist())
@@ -63,7 +65,7 @@ def main():
     from matplotlib import pyplot as plt
 
     os.makedirs(args.out_dir, exist_ok=True)
-    bins = np.arange(0, args.z_max + 1, args.z_max / args.bins)
+    bins = np.linspace(0, args.z_max, args.bins + 1)
     for split in args.splits:
         d = split_depths(args.data, split, cfg)
         if d.size == 0:
@@ -74,7 +76,7 @@ def main():
         ax.set_xlabel("Distance (in m)")
         ax.set_ylabel("Histogram")
         ax.set_xlim(0, args.z_max)
-        ax.set_ylim(0, np.ceil(n.max() / 100) * 100)
+        ax.set_ylim(0, max(np.ceil(n.max() / 100) * 100, 1.0))
         ax.grid(True)
         out = os.path.join(args.out_dir, f"gt_depth_{split}.png")
         fig.tight_layout()

@@ -49,16 +49,26 @@ def _iou2d(box, gt_boxes):
     return inter / np.maximum(area + areas - inter, 1e-12)
 
 
-def collect_errors(results_data_dir, gt_dir, min_iou2d=0.4, cache=True):
+def collect_errors(results_data_dir, gt_dir, min_iou2d=0.4, cache=True,
+                   max_boxes=500):
     """Match every prediction to its best-IoU2D GT; return match arrays.
+
+    ``max_boxes`` caps detections per image at the first N txt rows
+    (the reference's num_predictions_boxes=500); <= 0 disables the cap.
+    The cache is keyed on (min_iou2d, max_boxes) and recomputed on
+    mismatch; like the reference's pkl cache, it does NOT watch the txt
+    files themselves -- delete error_list.npz after regenerating results.
 
     Returns dict of arrays over kept matches: score, iou2d, iou3d, z_err
     (|z3d_pred - z3d_gt|), z_gt.
     """
+    key = np.array([min_iou2d, float(max_boxes)])
     cache_path = os.path.join(os.path.dirname(results_data_dir.rstrip("/")),
                               "error_list.npz")
     if cache and os.path.exists(cache_path):
-        return dict(np.load(cache_path))
+        loaded = dict(np.load(cache_path))
+        if np.array_equal(loaded.pop("cache_key", None), key):
+            return loaded
 
     from groomed_nms_tpu.ops.iou3d_exact import iou3d_exact
 
@@ -67,6 +77,8 @@ def collect_errors(results_data_dir, gt_dir, min_iou2d=0.4, cache=True):
         if not name.endswith(".txt"):
             continue
         dets = _rows(os.path.join(results_data_dir, name), min_cols=16)
+        if max_boxes > 0:
+            dets = dets[:max_boxes]
         gts = _rows(os.path.join(gt_dir, name))
         # all classes; drop DontCare rows (z3d == -1000) like the reference
         gts = [(c, v) for c, v in gts if v[12] > -999]
@@ -93,7 +105,7 @@ def collect_errors(results_data_dir, gt_dir, min_iou2d=0.4, cache=True):
             ("z_err", z_err), ("z_gt", z_gt)]}
     if cache:
         try:
-            np.savez(cache_path, **out)
+            np.savez(cache_path, cache_key=key, **out)
             print(f"cached {cache_path}")
         except OSError:
             pass
@@ -125,6 +137,9 @@ def main():
                     help="keep matches with |z error| below this (m)")
     ap.add_argument("--bins", type=int, default=25)
     ap.add_argument("--min-iou2d", type=float, default=0.4)
+    ap.add_argument("--max-boxes", type=int, default=500,
+                    help="per-image detection cap (first N rows, like the "
+                         "reference's num_predictions_boxes); <= 0 = all")
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--prefix", default=None)
@@ -146,7 +161,8 @@ def main():
         data_dir = os.path.join(rd, "data") if \
             os.path.isdir(os.path.join(rd, "data")) else rd
         e = collect_errors(data_dir, args.gt, args.min_iou2d,
-                           cache=not args.no_cache)
+                           cache=not args.no_cache,
+                           max_boxes=args.max_boxes)
         keep = (e["score"] >= args.score) & (e["z_err"] <= args.z_err)
         per_model.append({k: v[keep] for k, v in e.items()})
 

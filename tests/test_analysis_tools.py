@@ -107,10 +107,14 @@ def test_plot_prediction_error_collection(tmp_path):
     assert e["z_err"][0] == 0.0
 
     # cache: rewrite the det file with garbage; cached arrays still served
+    # for the same parameters (documented reference-like staleness) ...
     _write(str(res / "000000.txt"), [DET_LINE.format(x=9.0, z=90.0,
                                                      score=0.1)])
     e2 = collect_errors(str(res), str(gt))
     assert e2["score"][0] == 0.9
+    # ... but a different min_iou2d / max_boxes invalidates the cache
+    e3 = collect_errors(str(res), str(gt), min_iou2d=0.1)
+    assert e3["score"].size == 0 or e3["score"][0] == 0.1
 
     # binning: per-bin mean of x and y, empty bins skipped
     x = np.array([0.05, 0.15, 0.95])
