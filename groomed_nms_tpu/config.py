@@ -93,6 +93,12 @@ class ExperimentConfig:
     use_acceptance_prob_for_nms: bool = True
     boxes_for_acceptance_prob: str = "foregrounds"
     acceptance_prob_mode: str = "likelihood"
+    # ordinal-bin classify mode (reference lib/loss/rpn_3d.py:647-705 --
+    # working-but-unshipped there; bins-1 binary classifiers over IoU3D
+    # boundaries, or top-sort_K-vs-rest when sort_K > 0 and bins == 2)
+    acceptance_prob_classify_bins: int = 2
+    acceptance_prob_classify_sort_K: int = 0
+    bins_boundary: Sequence[float] = (0.5,)
     use_acceptance_prob_in_regression_loss: bool = True
     weigh_acceptance_prob_regularization: bool = True
     weigh_3D_regression_loss_by_gt_iou3d: bool = False
@@ -207,6 +213,7 @@ class ExperimentConfig:
             feat_stride=self.feat_stride,
             predict_acceptance_prob=self.predict_acceptance_prob,
             acceptance_prob_mode=self.acceptance_prob_mode,
+            acceptance_prob_classify_bins=self.acceptance_prob_classify_bins,
             predict_uncertainty=self.has_un,
             predict_velocity=self.has_vel,
             backbone=self.backbone_config(),
@@ -247,6 +254,9 @@ class ExperimentConfig:
             predict_acceptance_prob=self.predict_acceptance_prob,
             acceptance_prob_lambda=self.acceptance_prob_lambda,
             acceptance_prob_mode=self.acceptance_prob_mode,
+            acceptance_prob_classify_bins=self.acceptance_prob_classify_bins,
+            acceptance_prob_classify_sort_K=self.acceptance_prob_classify_sort_K,
+            bins_boundary=tuple(self.bins_boundary),
             boxes_for_acceptance_prob=self.boxes_for_acceptance_prob,
             use_acceptance_prob_in_regression_loss=self.use_acceptance_prob_in_regression_loss,
             weigh_acceptance_prob_regularization=self.weigh_acceptance_prob_regularization,

@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -242,12 +244,34 @@ class TrainLoader:
     Replaces the reference's torch DataLoader + WeightedRandomSampler
     (lib/imdb_util.py:424-433): decodes + mirrors labels on the host, keeps
     images uint8 (resize/normalise happen on device via
-    :func:`~groomed_nms_tpu.data.augment.preprocess_images`).
+    :func:`~groomed_nms_tpu.data.augment.preprocess_images`).  PNG decode is
+    the per-batch hot loop, attacked on two axes:
+
+    * ``decode_workers`` threads fan the decode out (PIL's C decoder drops
+      the GIL) -- the role of the reference DataLoader's ``num_workers``
+      (lib/imdb_util.py:424-433).  Label sampling stays sequential in index
+      order so the RNG draw sequence (and thus every batch) is bit-identical
+      to a serial loader.
+    * ``raw_cache_dir`` short-circuits decode entirely: the first read of
+      each image writes its decoded uint8 array as ``<id>.npy``; later reads
+      mmap it (page-cache speed, ~50x faster than PNG decode).  Essential on
+      single-core hosts (this environment's TPU VM exposes ONE core, so
+      thread fan-out cannot scale) and the classic raw-record layout TPU
+      input pipelines use.  Costs im_h*im_w*3 bytes/image of disk.
     """
 
-    def __init__(self, imdb, cfg, seed=0, prefetch=4):
+    def __init__(self, imdb, cfg, seed=0, prefetch=4, decode_workers=8,
+                 raw_cache_dir=None):
         self.imdb = imdb
         self.cfg = cfg
+        self._pool = ThreadPoolExecutor(max_workers=decode_workers)
+        self._cache_dir = raw_cache_dir
+        if raw_cache_dir:
+            os.makedirs(raw_cache_dir, exist_ok=True)
+        # consumer-side blocked-on-queue time (the "waited on host" signal:
+        # ~0 when the prefetch worker keeps up, ~decode time when starved)
+        self._wait_s = 0.0
+        self._wait_n = 0
         # fixed bbox_3d width keeps batch shapes static across batches
         # (17 when velocity training; records without tracks pad with -inf)
         self._n3d_cols = 17 if getattr(cfg, "has_vel", False) else None
@@ -274,9 +298,25 @@ class TrainLoader:
         self._thread.start()
 
     def _load_image(self, rec):
+        if self._cache_dir:
+            p = os.path.join(self._cache_dir, rec.id + ".npy")
+            try:
+                # mmap: the batch-plane copy pulls straight from page cache
+                return np.load(p, mmap_mode="r")
+            except (FileNotFoundError, ValueError, EOFError):
+                pass  # miss or torn write: decode + (re)populate
         from PIL import Image
         with Image.open(rec.image_path) as im:
-            return np.asarray(im.convert("RGB"), np.uint8)
+            arr = np.asarray(im.convert("RGB"), np.uint8)
+        if self._cache_dir:
+            tmp = p + f".tmp{os.getpid()}.{threading.get_ident()}"
+            try:
+                with open(tmp, "wb") as f:
+                    np.save(f, arr)
+                os.replace(tmp, p)  # atomic vs concurrent decode workers
+            except OSError:
+                pass  # cache dir full/read-only: decode-only still correct
+        return arr
 
     def _sample_indices(self):
         """Weighted record sampling within one size group (a batch must
@@ -313,12 +353,15 @@ class TrainLoader:
     def _make_batch(self):
         cfg = self.cfg
         idx = self._sample_indices()
-        images, gts_list, p2s, scales, mirrors = [], [], [], [], []
-        for i in idx:
+        # decode in parallel, THEN sample labels sequentially in idx order:
+        # the per-record mirror draw consumes self.rng in the same sequence
+        # as a serial loader, keeping batches bit-identical
+        images = list(self._pool.map(
+            lambda i: self._load_image(self.imdb[i]), idx))
+        gts_list, p2s, scales, mirrors = [], [], [], []
+        for i, img in zip(idx, images):
             rec = self.imdb[i]
-            img = self._load_image(rec)
             gts, scale, mirror = self._sample_labels(rec, img)
-            images.append(img)
             gts_list.append(gts)
             p2s.append(rec.p2)
             scales.append(scale)
@@ -366,9 +409,20 @@ class TrainLoader:
         except queue.Empty:
             pass
         self._thread.join(timeout=5)
+        self._pool.shutdown(wait=False)
+
+    def pop_wait_stats(self):
+        """(seconds blocked, batches pulled) since the last call -- the
+        'waited on host' stat surfaced in training logs/metrics."""
+        out = (self._wait_s, self._wait_n)
+        self._wait_s, self._wait_n = 0.0, 0
+        return out
 
     def __next__(self):
+        t0 = time.perf_counter()
         kind, item = self._q.get()
+        self._wait_s += time.perf_counter() - t0
+        self._wait_n += 1
         if kind == "error":
             raise RuntimeError("TrainLoader worker failed") from item
         return item
@@ -414,10 +468,13 @@ class VideoTrainLoader(TrainLoader):
     def _make_batch(self):
         cfg = self.cfg
         idx = self._sample_indices()
+        # one decode task per clip (n_frames serial reads each); label
+        # sampling stays sequential in idx order for RNG determinism
+        all_frames = list(self._pool.map(
+            lambda i: self._load_clip(self.imdb[i]), idx))
         clips, gts_list, p2s, scales, mirrors = [], [], [], [], []
-        for i in idx:
+        for i, frames in zip(idx, all_frames):
             rec = self.imdb[i]
-            frames = self._load_clip(rec)
             gts, scale, mirror = self._sample_labels(rec, frames[-1])
             clips.append(np.stack(frames))
             gts_list.append(gts)

@@ -116,6 +116,13 @@ class LossConfig:
     predict_acceptance_prob: bool = False
     acceptance_prob_lambda: float = 0.0
     acceptance_prob_mode: str = "likelihood"  # classify|rank|regress|likelihood
+    # classify mode: bins-1 ordinal binary classifiers over IoU3D-to-target
+    # boundaries (Kim et al. ordinal classification), or top-sort_K-vs-rest
+    # when sort_K > 0 with a single classifier.  Reference
+    # lib/loss/rpn_3d.py:647-705 (targets) and 1040-1043 (weighted BCE).
+    acceptance_prob_classify_bins: int = 2
+    acceptance_prob_classify_sort_K: int = 0
+    bins_boundary: tuple = (0.5,)
     boxes_for_acceptance_prob: str = "foregrounds"
     use_acceptance_prob_in_regression_loss: bool = False
     weigh_acceptance_prob_regularization: bool = False
@@ -147,19 +154,22 @@ class LossConfig:
         # fail loudly on acceptance-branch modes this loss does not train,
         # instead of silently skipping the term (a config that asks for
         # them would otherwise train a dead head with zero gradient):
-        # - 'classify' needs the ordinal-bin targets of the reference's
-        #   unshipped path (lib/loss/rpn_3d.py:647-705); no shipped config
-        #   uses it (all set mode='likelihood').
-        # - boxes_for_acceptance_prob 'all'/'overlaps' select a different
-        #   active set (lib/loss/rpn_3d.py:1005-1012; the reference's 'all'
-        #   branch is itself broken for batch>1 -- it indexes only the
-        #   first R rows of the flattened B*R tensor).
+        # boxes_for_acceptance_prob 'all'/'overlaps' select a different
+        # active set (lib/loss/rpn_3d.py:1005-1012; the reference's 'all'
+        # branch is itself broken for batch>1 -- it indexes only the
+        # first R rows of the flattened B*R tensor).
         if self.predict_acceptance_prob and self.acceptance_prob_lambda:
             if self.acceptance_prob_mode == "classify":
-                raise NotImplementedError(
-                    "acceptance_prob_mode='classify' is not implemented "
-                    "(unshipped in the reference; use 'likelihood', "
-                    "'rank' or 'regress')")
+                n_cls = self.acceptance_prob_classify_bins - 1
+                if n_cls < 1:
+                    raise ValueError(
+                        "acceptance_prob_classify_bins must be >= 2")
+                sort_k = self.acceptance_prob_classify_sort_K
+                if not (sort_k > 0 and n_cls == 1) \
+                        and len(self.bins_boundary) != n_cls:
+                    raise ValueError(
+                        f"bins_boundary needs {n_cls} entries (bins-1) for "
+                        f"ordinal classify, got {len(self.bins_boundary)}")
             if self.boxes_for_acceptance_prob != "foregrounds":
                 raise NotImplementedError(
                     f"boxes_for_acceptance_prob="
@@ -220,6 +230,7 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
     bbox_2d = outputs["bbox_2d"]
     bbox_3d = outputs["bbox_3d"]
     accept_prob = outputs.get("accept_prob")
+    accept_cls = outputs.get("accept_cls")   # [B,R,bins-1] classify mode
     if accept_prob is None and cfg.has_un:
         accept_prob = outputs.get("uncertainty")
     if accept_prob is not None:
@@ -413,8 +424,38 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
         accept_tar = jnp.nan_to_num(accept_tar, nan=0.0, posinf=0.0, neginf=0.0)
 
     if cfg.predict_acceptance_prob and cfg.acceptance_prob_lambda and \
-            accept_prob is not None:
-        if cfg.acceptance_prob_mode == "likelihood":
+            (accept_prob is not None or accept_cls is not None):
+        if cfg.acceptance_prob_mode == "classify":
+            # ordinal-bin targets (reference lib/loss/rpn_3d.py:680-705):
+            # per image, classifier c splits the sampled-fg boxes at
+            # bins_boundary[c] on IoU3D-to-target (or, with sort_K and one
+            # classifier, into top-K-by-IoU3D vs rest); positives are
+            # re-weighted by the per-image neg/pos count ratio, and the
+            # weighted BCE is averaged over every (fg box, classifier) cell
+            # of the batch (rpn_3d.py:1040-1043).
+            n_cls = cfg.acceptance_prob_classify_bins - 1
+            iou_d = jax.lax.stop_gradient(accept_tar)          # [B, R]
+            if cfg.acceptance_prob_classify_sort_K > 0 and n_cls == 1:
+                def topk_pos(iou_img, fg_img):
+                    key = jnp.where(fg_img, iou_img, -jnp.inf)
+                    rank_desc = _rank_ascending(-key)
+                    return fg_img & \
+                        (rank_desc < cfg.acceptance_prob_classify_sort_K)
+                pos = jax.vmap(topk_pos)(iou_d, fg_sel)[..., None]
+            else:
+                bnds = jnp.asarray(cfg.bins_boundary, jnp.float32)
+                pos = fg_sel[:, :, None] & (iou_d[..., None] > bnds)
+            n_pos = jnp.sum(pos, axis=1).astype(jnp.float32)   # [B, C]
+            n_neg = jnp.sum(fg_sel, axis=1).astype(jnp.float32)[:, None] \
+                - n_pos
+            w_pos = jnp.where(n_neg > 0,
+                              n_neg / jnp.maximum(n_pos, 1.0), 1.0)
+            bce = _bce(accept_cls, pos.astype(jnp.float32))
+            bce = bce * jnp.where(pos, w_pos[:, None, :], 1.0)
+            loss_ap = _masked_mean(
+                bce, jnp.broadcast_to(fg_sel[:, :, None], bce.shape)) \
+                * cfg.acceptance_prob_lambda
+        elif cfg.acceptance_prob_mode == "likelihood":
             lp = -jnp.log(accept_prob)
         elif cfg.acceptance_prob_mode == "regress":
             lp = jnp.abs(accept_prob - jax.lax.stop_gradient(accept_tar))

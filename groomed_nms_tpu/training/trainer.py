@@ -159,6 +159,7 @@ def make_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
         return {"cls": out.cls, "prob": out.prob,
                 "bbox_2d": out.bbox_2d, "bbox_3d": out.bbox_3d,
                 "accept_prob": out.accept_prob,
+                "accept_cls": out.accept_cls,
                 "uncertainty": out.uncertainty}
 
     return _make_step(loss_cfg, rois, rois_3d, bbox_means, bbox_stds,
@@ -189,6 +190,7 @@ def make_video_train_step(loss_cfg: LossConfig, rois, rois_3d, bbox_means,
                 "bbox_2d": last_frame(fo.bbox_2d),
                 "bbox_3d": last_frame(fo.bbox_3d),
                 "accept_prob": last_frame(fo.accept_prob),
+                "accept_cls": last_frame(fo.accept_cls),
                 "uncertainty": last_frame(fo.uncertainty)}
 
     return _make_step(loss_cfg, rois, rois_3d, bbox_means, bbox_stds,

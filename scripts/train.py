@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--restore", type=int, default=None)
     ap.add_argument("--max-iter", type=int, default=None,
                     help="override config max_iter (smoke runs)")
+    ap.add_argument("--cache-images", action="store_true",
+                    help="decode each image once and mmap a raw uint8 cache "
+                         "thereafter (trades H*W*3 bytes/image of disk for "
+                         "~50x faster loads; essential on single-core hosts)")
     args = ap.parse_args()
 
     from groomed_nms_tpu.platform import (enable_compilation_cache,
@@ -197,6 +201,12 @@ def main():
         state = state.replace(step=jnp.zeros((), jnp.int32))
         log.info("warm-started from %s", cfg.pretrained)
 
+    # the raw cache lives beside the dataset so the warmup and groomed
+    # stages (same images) share one copy
+    cache_dir = os.path.join(root, "training", ".decoded_cache") \
+        if args.cache_images else None
+    if cache_dir:
+        log.info("raw image cache: %s", cache_dir)
     if is_video:
         from groomed_nms_tpu.data.pipeline import VideoTrainLoader
         from groomed_nms_tpu.training import make_video_train_step
@@ -211,7 +221,8 @@ def main():
                                   means.astype(np.float32),
                                   stds.astype(np.float32), train_bn=train_bn,
                                   frozen_stats_mask=frozen_mask)
-        loader = TrainLoader(imdb, cfg, seed=cfg.rng_seed)
+        loader = TrainLoader(imdb, cfg, seed=cfg.rng_seed,
+                             raw_cache_dir=cache_dir)
     mesh = create_mesh()
     sharded_step = shard_train_step(step_fn, mesh)
     tracker = StatTracker(cfg.max_iter, cfg.display,
@@ -284,13 +295,19 @@ def main():
                       gt_dir=os.path.join(val_root, "validation", "label_2"),
                       log_fn=log.info)
 
+    import time as _time
     with mesh:
         start = int(state.step)
         batches = device_prefetch(loader, transform=to_device_batch)
         for it in range(start, cfg.max_iter):
+            # host_wait = host time NOT spent dispatching device work
+            # (loader queue + preprocess dispatch); ~0 when the input
+            # pipeline keeps up, ~decode time when host-starved
+            t0 = _time.perf_counter()
             batch = next(batches)
+            host_wait = _time.perf_counter() - t0
             state, stats = sharded_step(state, batch)
-            tracker.update(stats)
+            tracker.update(dict(stats, host_wait=host_wait))
 
             if (it + 1) % cfg.display == 0:
                 log.info(tracker.log_line(it + 1, lr=float(schedule(it))))

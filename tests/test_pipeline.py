@@ -261,3 +261,43 @@ def test_loader_worker_error_propagates(mini_kitti):
     with pytest.raises(RuntimeError, match="TrainLoader worker failed"):
         next(loader)
     loader.close()
+
+
+def test_loader_raw_cache_and_determinism(mini_kitti, tmp_path):
+    """Raw decoded-image cache: batches are bit-identical with the cache
+    off, cold (populating), and warm (mmap reads); a warm cache never
+    touches the PNGs again; wait-stat accounting pops."""
+    cfg = _tiny_cfg()
+    imdb = build_imdb(mini_kitti, "training")
+    cache = str(tmp_path / "decoded")
+
+    def pull(loader, n=3):
+        out = [next(loader) for _ in range(n)]
+        loader.close()
+        return out
+
+    plain = pull(TrainLoader(imdb, cfg, seed=7, prefetch=1))
+    cold = pull(TrainLoader(imdb, cfg, seed=7, prefetch=1,
+                            raw_cache_dir=cache))
+    assert len(os.listdir(cache)) > 0, "cold pass must populate the cache"
+    warm_loader = TrainLoader(imdb, cfg, seed=7, prefetch=1,
+                              raw_cache_dir=cache)
+    warm = pull(warm_loader)
+    for a, b, c in zip(plain, cold, warm):
+        np.testing.assert_array_equal(a["images_u8"], b["images_u8"])
+        np.testing.assert_array_equal(a["images_u8"], c["images_u8"])
+        np.testing.assert_array_equal(a["mirror"], b["mirror"])
+        np.testing.assert_array_equal(a["gt"].gts_2d, c["gt"].gts_2d)
+
+    # warm cache: PNGs are no longer needed (mmap path only)
+    import dataclasses
+    gone = [dataclasses.replace(rec, image_path="/nonexistent/x.png")
+            for rec in imdb]
+    loader = TrainLoader(gone, cfg, seed=7, prefetch=1,
+                         raw_cache_dir=cache)
+    batch = next(loader)
+    assert batch["images_u8"].shape[0] == cfg.batch_size
+    s, n = loader.pop_wait_stats()
+    assert n == 1 and s >= 0.0
+    assert loader.pop_wait_stats() == (0.0, 0)
+    loader.close()
