@@ -182,7 +182,7 @@ for (const chart of document.querySelectorAll('[data-key]')){
 """
 
 
-def render(header, cols, conf_text, run_name):
+def render(header, cols, conf_text, run_name, refresh=None):
     it = cols[header[0]]
     keys = [k for k in header[1:]]
     groups = {}
@@ -233,7 +233,10 @@ def render(header, cols, conf_text, run_name):
         pairs = [(it[i], v) for i, v in enumerate(cols[k]) if v is not None]
         series[k] = {"x": [p[0] for p in pairs], "y": [p[1] for p in pairs]}
     data = json.dumps({"iter": it, "series": series})
+    meta_refresh = (f'<meta http-equiv="refresh" content="{int(refresh)}">'
+                    if refresh else "")
     return f"""<!doctype html><html><head><meta charset="utf-8">
+{meta_refresh}
 <title>{html.escape(run_name)} — training dashboard</title>
 <style>{CSS}</style></head>
 <body class="viz-root"><div class="wrap">
@@ -248,13 +251,82 @@ def render(header, cols, conf_text, run_name):
 <script>{JS}</script></body></html>"""
 
 
+def _render_run(run_dir, refresh=None):
+    """Read metrics.csv + conf.json and render the page (or a waiting
+    placeholder when the trainer hasn't logged its first window yet)."""
+    name = os.path.basename(os.path.abspath(run_dir))
+    metrics = os.path.join(run_dir, "metrics.csv")
+    header = cols = None
+    if os.path.exists(metrics):
+        header, cols = read_metrics(metrics)
+    if not header or not cols[header[0]]:
+        body = (f"<h1>{html.escape(name)}</h1>"
+                "<p>waiting for the first metrics window...</p>")
+        meta = (f'<meta http-equiv="refresh" content="{int(refresh)}">'
+                if refresh else "")
+        return (f'<!doctype html><html><head><meta charset="utf-8">{meta}'
+                f"<style>{CSS}</style></head><body class='viz-root'>"
+                f"<div class='wrap'>{body}</div></body></html>")
+    conf_path = os.path.join(run_dir, "conf.json")
+    conf_text = None
+    if os.path.exists(conf_path):
+        with open(conf_path) as f:
+            conf_text = json.dumps(json.load(f), indent=2)
+    return render(header, cols, conf_text, name, refresh=refresh)
+
+
+def serve(run_dir, port, refresh=5, ready_cb=None):
+    """Live dashboard: re-render from metrics.csv on every request, with a
+    meta-refresh so the browser polls while training writes.  The live
+    counterpart of the reference's visdom windows (lib/core.py:730-780) --
+    stdlib http.server, no dependency, safe to leave running beside a run.
+
+    ``ready_cb(port)`` is invoked once the socket is bound (tests use it to
+    learn the ephemeral port).  Blocks until interrupted.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            page = _render_run(run_dir, refresh=refresh).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(page)))
+            self.end_headers()
+            self.wfile.write(page)
+
+        def log_message(self, fmt, *a):  # quiet: one line per poll is noise
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    actual = httpd.server_address[1]
+    print(f"dashboard live at http://127.0.0.1:{actual}/ "
+          f"(refresh {refresh}s, ctrl-c to stop)", flush=True)
+    if ready_cb:
+        ready_cb(actual)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", required=True,
                     help="experiment output dir (holds metrics.csv)")
     ap.add_argument("--out", default=None,
                     help="output html (default <run>/dashboard.html)")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve a live-updating dashboard on PORT instead "
+                         "of writing a file (0 picks a free port)")
+    ap.add_argument("--refresh", type=int, default=5,
+                    help="browser poll interval in --serve mode (seconds)")
     args = ap.parse_args(argv)
+
+    if args.serve is not None:
+        return serve(args.run, args.serve, refresh=args.refresh)
 
     metrics = os.path.join(args.run, "metrics.csv")
     if not os.path.exists(metrics):

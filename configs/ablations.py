@@ -51,6 +51,30 @@ def group_size(size):
                                  diff_nms_group_size=size)
 
 
+def acceptance_classify(bins=2, boundary=(0.5,), sort_k=0):
+    """Ordinal-classify acceptance training (the reference's unshipped
+    acceptance_prob_mode='classify', lib/loss/rpn_3d.py:647-705).  NMS-in-
+    loss is off because the reference model forces mode='regress' whenever
+    the NMS is in the loss (models/densenet121_3d_dilate_decomp_alpha.py:
+    92-94); the head emits per-classifier probabilities, so the scalar
+    acceptance score does not exist for regression weighting or NMS
+    rescoring.  lambda 0.3 is arbitrary (no shipped value exists; matches
+    the differential tests)."""
+    return base_config().replace(
+        name="groomed_nms_acceptance_classify",
+        use_nms_in_loss=False,
+        after_nms_lambda=0.0,
+        acceptance_prob_mode="classify",
+        acceptance_prob_lambda=0.3,
+        acceptance_prob_classify_bins=bins,
+        bins_boundary=tuple(boundary),
+        acceptance_prob_classify_sort_K=sort_k,
+        use_acceptance_prob_in_regression_loss=False,
+        weigh_acceptance_prob_regularization=False,
+        bbox_un_dynamic=False,
+        use_acceptance_prob_for_nms=False)
+
+
 ALL = {
     "no_group": no_group,
     "group_no_mask": group_no_mask,
@@ -61,4 +85,5 @@ ALL = {
     "no_rankwise_AP": no_rankwise_ap,
     "threshold_0_3": lambda: nms_threshold(0.3),
     "threshold_0_5": lambda: nms_threshold(0.5),
+    "acceptance_classify": acceptance_classify,
 }

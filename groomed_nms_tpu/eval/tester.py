@@ -69,20 +69,23 @@ def _cached_infer(model, dcfg, target_h, crop_w, bf16_input=False,
 
 def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
                   bbox_stds, imdb, results_dir, gt_dir=None, batch_size=None,
-                  log_fn=None, skip_eval=False, render=0):
+                  log_fn=None, skip_eval=False, render=0, refine=False):
     """Run inference over ``imdb`` into ``results_dir``; evaluate if
     ``gt_dir`` exists.
 
     Returns the evaluator's AP dict (see ``evaluate_kitti_results_verbose``)
     or None when evaluation was skipped. ``render`` > 0 saves qualitative
     image+BEV figures for the first N val images (reference
-    test_rpn_3d.py:200-290) under ``results_dir``/vis.
+    test_rpn_3d.py:200-290) under ``results_dir``/vis.  ``refine`` runs the
+    batched z/ry projection-consistency hill-climb on the final detections
+    (see :func:`~groomed_nms_tpu.inference.refine_detections`).
     """
     import jax
     import jax.numpy as jnp
 
     from ..data.pipeline import device_prefetch
-    from ..inference import clip_detections, write_kitti_detections
+    from ..inference import (clip_detections, refine_detections,
+                             write_kitti_detections)
     from ..parallel import batch_sharding, create_mesh
     from .kitti_eval import evaluate_kitti_results_verbose
 
@@ -193,6 +196,8 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
             transform=lambda x: (x[0], tuple(put(t) for t in x[1]))):
         n = len(chunk)
         dets, valid = infer(imgs_d, hw_d, p2_d, p2i_d, scale_d)
+        if refine:
+            dets = refine_detections(dets, valid, p2_d, p2i_d)
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         for bi, rec in enumerate(chunk):

@@ -367,6 +367,56 @@ def detect_batch(apply_fn, variables, images, rois, rois_3d, p2, p2_inv,
                         scale_factor, bbox_means, bbox_stds, cfg)
 
 
+@jax.jit
+def refine_detections(dets, valid, p2, p2_inv):
+    """Post-hoc z/ry hill-climb refinement of final detections.
+
+    Capability match for the reference's ``hill_climb``/``test_projection``
+    (lib/rpn_util.py:2254-2349, reachable there only from analysis scripts):
+    coordinate-descent on depth and yaw so the projected cuboid matches the
+    predicted 2D box.  Batched over images AND boxes (the reference climbs
+    one box at a time in a python while loop).
+
+    Only improving steps are ever taken, so the projection-consistency
+    objective is monotonically non-decreasing per box; rows whose initial
+    projection is invalid (a corner behind the camera) or that are masked
+    out by ``valid`` keep their inputs.
+
+    Args: dets [B, K, 17] (decode_detections layout), valid [B, K] bool,
+    p2 / p2_inv [B, 4, 4] in the ORIGINAL image frame (dets' x2d/y2d/boxes
+    are original-frame).  Returns refined dets with columns z2d, alpha,
+    x3d, y3d, z3d, ry3d updated.
+    """
+    from .ops.refine import hill_climb
+
+    def per_image(d, v, p, pi):
+        box2d = jnp.stack([d[:, 0], d[:, 1],
+                           d[:, 2] - d[:, 0] + 1.0,
+                           d[:, 3] - d[:, 1] + 1.0], axis=-1)
+        x2d, y2d, z2d = d[:, 6], d[:, 7], d[:, 8]
+        w3d, h3d, l3d, ry3d = d[:, 9], d[:, 10], d[:, 11], d[:, 16]
+        z_new, r_new, _ = hill_climb(p, pi, box2d, x2d, y2d, z2d,
+                                     w3d, h3d, l3d, ry3d)
+        z_new = jnp.where(v, z_new, z2d)
+        r_new = jnp.where(v, r_new, ry3d)
+        # re-derive the camera-frame center from the refined depth and the
+        # (unchanged) projected center, then alpha from the refined yaw
+        pts = jnp.stack([x2d * z_new, y2d * z_new, z_new,
+                         jnp.ones_like(z_new)], axis=-1)
+        cam = jnp.einsum("ij,kj->ki", pi, pts,
+                         precision=jax.lax.Precision.HIGHEST)
+        alpha = rot_y_to_alpha(r_new, cam[:, 2], cam[:, 0])
+        out = d.at[:, 8].set(z_new)
+        out = out.at[:, 12].set(alpha)
+        out = out.at[:, 13].set(cam[:, 0])
+        out = out.at[:, 14].set(cam[:, 1])
+        out = out.at[:, 15].set(cam[:, 2])
+        out = out.at[:, 16].set(r_new)
+        return out
+
+    return jax.vmap(per_image)(dets, valid, p2, p2_inv)
+
+
 def clip_detections(dets, im_w, im_h):
     """Clip final 2D boxes to the original image (reference
     lib/rpn_util.py:1347-1351, enabled by conf.clip_boxes)."""

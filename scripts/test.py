@@ -39,6 +39,10 @@ def main():
                          "compile per distinct size")
     ap.add_argument("--render", type=int, default=0,
                     help="save qualitative image+BEV figures for N images")
+    ap.add_argument("--refine", action="store_true",
+                    help="post-hoc z/ry hill-climb on final detections "
+                         "(projection-consistency refinement, the "
+                         "reference's lib/rpn_util.py hill_climb)")
     args = ap.parse_args()
 
     from groomed_nms_tpu.platform import (enable_compilation_cache,
@@ -115,7 +119,7 @@ def main():
     test_kitti_3d(
         cfg, model, state.params, state.batch_stats, rois, rois_3d, means,
         stds, imdb, results_dir, gt_dir=gt_dir, batch_size=batch_size,
-        log_fn=log.info, render=args.render,
+        log_fn=log.info, render=args.render, refine=args.refine,
         skip_eval=args.skip_eval or sharded)
 
     if sharded:

@@ -168,3 +168,47 @@ def test_dashboard_tolerates_empty_cells(tmp_path):
     assert cols["a"] == [1.0, 1.5, 2.0]
     assert cols["b"] == [2.0, None, 4.0]
     assert _last(cols["b"]) == 4.0
+
+
+def test_dashboard_serve_live_updates(tmp_path):
+    """--serve mode: the page re-renders from metrics.csv on every request
+    (watching a run update live, the reference's visdom role), carries a
+    meta-refresh poll tag, and shows a waiting page before the first row."""
+    import threading
+    import urllib.request
+
+    from dashboard import serve
+
+    run = tmp_path / "run"
+    run.mkdir()
+
+    got_port = []
+    ev = threading.Event()
+
+    def ready(port):
+        got_port.append(port)
+        ev.set()
+
+    t = threading.Thread(target=serve, args=(str(run), 0),
+                         kwargs=dict(refresh=3, ready_cb=ready), daemon=True)
+    t.start()
+    assert ev.wait(timeout=10), "server never bound"
+    url = f"http://127.0.0.1:{got_port[0]}/"
+
+    def fetch():
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return r.read().decode()
+
+    page = fetch()
+    assert "waiting for the first metrics window" in page
+    assert 'http-equiv="refresh" content="3"' in page
+
+    with open(run / "metrics.csv", "w") as f:
+        f.write("iter,total\n100,5.0\n")
+    page = fetch()
+    assert "100" in page and "waiting" not in page
+
+    with open(run / "metrics.csv", "a") as f:
+        f.write("200,4.0\n")
+    page = fetch()
+    assert '"iter": [100.0, 200.0]' in page.replace("\n", "")

@@ -591,3 +591,157 @@ def test_acceptance_prob_in_regression_weighting_matches_reference(ref):
         np.testing.assert_allclose(o_loss, r_loss, rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(o_gap, r_gap, rtol=1e-3, atol=1e-6)
         np.testing.assert_allclose(o_g3, r_g3, rtol=1e-3, atol=1e-5)
+
+
+def _run_reference_accept_cls(ref, case, conf, accept_cls):
+    """Reference run with the ordinal-classify acceptance head threaded
+    through (bbox_acceptance_prob_cls kwarg, lib/loss/rpn_3d.py:162)."""
+    t_cls = torch.from_numpy(case["cls"].copy()).requires_grad_(True)
+    t_b2 = torch.from_numpy(case["bbox_2d"].copy()).requires_grad_(True)
+    t_b3 = torch.from_numpy(case["bbox_3d"].copy()).requires_grad_(True)
+    t_ac = torch.from_numpy(accept_cls.copy()).requires_grad_(True)
+    t_prob = torch.softmax(t_cls, dim=-1)
+    rois_t = torch.from_numpy(np.tile(case["rois"][None], (B, 1, 1)).copy())
+    rois3d_t = torch.from_numpy(
+        np.tile(case["rois_3d_full"][None], (B, 1, 1)).copy())
+    cen_t = torch.from_numpy(np.tile(case["cen"][None], (B, 1, 1)).copy())
+    crit = ref.RPN_3D_loss(conf, verbose=True)
+    # the reference unconditionally reads bbox_acceptance_prob for its
+    # 'conf' stat line (rpn_3d.py:1356) even in classify mode, where the
+    # model emits None -- feed a constant dummy (regression weighting is
+    # off, so it touches nothing else)
+    t_dummy = torch.full((B, R, 1), 0.5)
+    loss, stats = crit(t_cls * 1.0, t_prob, t_b2 * 1.0, t_b3 * 1.0,
+                       case["imobjs"], [FH, FW], rois=rois_t,
+                       rois_3d=rois3d_t, rois_3d_cen=cen_t,
+                       bbox_acceptance_prob=t_dummy,
+                       bbox_acceptance_prob_cls=t_ac * 1.0)
+    loss.backward()
+    sv = {s["name"]: float(np.asarray(s["val"])) for s in stats}
+    return (float(loss.item()), sv, t_ac.grad.numpy(), t_b3.grad.numpy())
+
+
+def _run_ours_accept_cls(case, lcfg, accept_cls):
+    import jax
+    import jax.numpy as jnp
+    from groomed_nms_tpu.losses.rpn_3d import (GTBatch, UncertaintyState,
+                                               rpn_3d_loss)
+    batch = GTBatch(
+        gts_2d=jnp.asarray(case["gts_2d"]),
+        gts_3d=jnp.asarray(case["gts_3d"]),
+        gt_labels=jnp.asarray(case["gt_labels"]),
+        gt_valid=jnp.asarray(case["gt_valid"]),
+        ign_2d=jnp.asarray(case["ign_2d"]),
+        ign_valid=jnp.asarray(case["ign_valid"]),
+        p2=jnp.asarray(np.tile(case["p2"][None], (B, 1, 1))),
+        scale=jnp.ones((B,), jnp.float32))
+    rois = jnp.asarray(case["rois"])
+    rois_3d = jnp.asarray(case["rois_3d_full"][:, 4:])
+
+    def fn(ac, b3):
+        outputs = {"cls": jnp.asarray(case["cls"]),
+                   "prob": jax.nn.softmax(jnp.asarray(case["cls"]), -1),
+                   "bbox_2d": jnp.asarray(case["bbox_2d"]),
+                   "bbox_3d": b3, "accept_prob": None, "accept_cls": ac,
+                   "uncertainty": None}
+        loss, stats, _ = rpn_3d_loss(outputs, rois, rois_3d, batch,
+                                     case["means"], case["stds"],
+                                     UncertaintyState.init(), lcfg)
+        return loss, stats
+    (loss, stats), (g_ac, g_b3) = jax.value_and_grad(
+        fn, argnums=(0, 1), has_aux=True)(
+        jnp.asarray(accept_cls), jnp.asarray(case["bbox_3d"]))
+    return (float(loss), {k: float(v) for k, v in stats.items()},
+            np.asarray(g_ac), np.asarray(g_b3))
+
+
+@pytest.mark.parametrize("sort_k", [0, 5])
+def test_acceptance_prob_classify_matches_reference(ref, sort_k):
+    """acceptance_prob_mode='classify' (the reference's unshipped
+    ordinal-bin path, lib/loss/rpn_3d.py:680-705 + 1040-1043): a single
+    binary classifier (bins=2, the only width whose flattened-mask indexing
+    is well-formed in the reference) over the IoU3D-to-target boundary --
+    or top-sort_K-vs-rest when sort_K > 0 -- with per-image neg/pos
+    positive re-weighting.  Values AND gradients w.r.t. the classify head
+    and bbox_3d (which feeds the IoU3D targets) must match."""
+    from groomed_nms_tpu.losses import LossConfig
+    rng = np.random.default_rng(777 + sort_k)
+    for case_i in range(3):
+        case = _make_case(rng, with_ign=False)
+        accept_cls = rng.uniform(0.05, 0.95, (B, R, 1)).astype(np.float32)
+        # boundary at the IoU3D median so both classes are populated
+        conf = _make_conf(case["anchors"], case["means"], case["stds"],
+                          bbox_2d_lambda=0.0, predict_acceptance_prob=True,
+                          acceptance_prob_lambda=0.3,
+                          acceptance_prob_mode="classify",
+                          acceptance_prob_classify_bins=2,
+                          acceptance_prob_classify_sort_K=sort_k,
+                          bins_boundary=np.array([0.25], np.float64),
+                          boxes_for_acceptance_prob="foregrounds",
+                          use_acceptance_prob_in_regression_loss=False)
+        r_loss, r_stats, r_gac, r_g3 = _run_reference_accept_cls(
+            ref, case, conf, accept_cls)
+
+        lcfg = LossConfig(
+            num_classes=C, fg_fraction=0.2, box_samples=0.0,
+            hard_negatives=True, cls_2d_lambda=1.0, iou_2d_lambda=1.0,
+            bbox_2d_lambda=0.0, bbox_3d_lambda=1.0,
+            bbox_axis_head_lambda=0.35, decomp_alpha=True,
+            predict_acceptance_prob=True, acceptance_prob_lambda=0.3,
+            acceptance_prob_mode="classify",
+            acceptance_prob_classify_bins=2,
+            acceptance_prob_classify_sort_K=sort_k,
+            bins_boundary=(0.25,),
+            use_acceptance_prob_in_regression_loss=False)
+        o_loss, o_stats, o_gac, o_g3 = _run_ours_accept_cls(
+            case, lcfg, accept_cls)
+
+        np.testing.assert_allclose(
+            o_stats["bbox_prob"], r_stats["bbox_prob_class"],
+            rtol=2e-4, atol=1e-5,
+            err_msg=f"case={case_i} sort_k={sort_k}")
+        np.testing.assert_allclose(o_loss, r_loss, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(o_gac, r_gac, rtol=1e-3, atol=1e-6,
+                                   err_msg=f"case={case_i} grad accept_cls")
+        np.testing.assert_allclose(o_g3, r_g3, rtol=1e-3, atol=1e-5,
+                                   err_msg=f"case={case_i} grad bbox_3d")
+
+
+def test_acceptance_prob_classify_multibin_oracle():
+    """bins > 2 ordinal generalization (the reference's multi-classifier
+    target construction at lib/loss/rpn_3d.py:680-705; its loss indexing
+    only supports one classifier, so it is pinned by decomposition: the
+    multi-bin loss averages over (fg box, classifier) cells, which equals
+    the mean of the three single-classifier losses -- each of those is
+    itself reference-pinned by the differential above."""
+    from groomed_nms_tpu.losses import LossConfig
+    rng = np.random.default_rng(4242)
+    case = _make_case(rng, with_ign=False)
+    bnds = (0.1, 0.3, 0.5)
+    accept_cls = rng.uniform(0.05, 0.95, (B, R, 3)).astype(np.float32)
+
+    def lcfg_for(bins, boundary):
+        return LossConfig(
+            num_classes=C, fg_fraction=0.2, box_samples=0.0,
+            hard_negatives=True, cls_2d_lambda=0.0, iou_2d_lambda=0.0,
+            bbox_2d_lambda=0.0, bbox_3d_lambda=0.0,
+            decomp_alpha=True, predict_acceptance_prob=True,
+            acceptance_prob_lambda=1.0, acceptance_prob_mode="classify",
+            acceptance_prob_classify_bins=bins, bins_boundary=boundary)
+
+    o_loss, o_stats, o_gac, _ = _run_ours_accept_cls(
+        case, lcfg_for(4, bnds), accept_cls)
+
+    singles, single_grads = [], []
+    for ci, bnd in enumerate(bnds):
+        s_loss, s_stats, s_gac, _ = _run_ours_accept_cls(
+            case, lcfg_for(2, (bnd,)), accept_cls[..., ci:ci + 1])
+        singles.append(s_stats["bbox_prob"])
+        single_grads.append(s_gac[..., 0])
+    np.testing.assert_allclose(o_stats["bbox_prob"], np.mean(singles),
+                               rtol=1e-5, atol=1e-7)
+    # gradients decompose the same way (each classifier's BCE cells are
+    # 1/3 of the multi-bin denominator)
+    np.testing.assert_allclose(
+        o_gac, np.stack(single_grads, axis=-1) / 3.0,
+        rtol=1e-4, atol=1e-7)

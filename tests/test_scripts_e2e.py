@@ -120,6 +120,24 @@ def test_train_then_test_scripts(tmp_path):
     assert train.stdout or True  # logs captured
     assert stats or "evaluated" in test.stdout + test.stderr
 
+    # --refine: the projection-consistency hill-climb path end to end
+    # (value-level guarantees are unit-tested in test_refine_roialign.py)
+    before = {p.name: p.read_text() for p in txts}
+    refine = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "test.py"),
+         "--config", "tiny_synthetic", "--data-root", str(data_root),
+         "--output", str(out_root), "--refine", "--skip-eval"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert refine.returncode == 0, refine.stderr[-3000:]
+    after = {p.name: p.read_text() for p in sorted(results.iterdir())}
+    assert set(after) == set(before), "refine must write every image's txt"
+    for name, txt in after.items():
+        for ln_a, ln_b in zip(txt.splitlines(), before[name].splitlines()):
+            fa, fb = ln_a.split(), ln_b.split()
+            # class/2D box/score untouched; only 3D columns may move
+            assert fa[0] == fb[0] and fa[4:8] == fb[4:8] and fa[-1] == fb[-1]
+
     # sharded eval fan-out: two CONCURRENT shard processes into one
     # results dir; shard 0 must wait for shard 1's completion marker
     # before scoring (never evaluate a partial detection set)
