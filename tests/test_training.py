@@ -309,3 +309,49 @@ def test_partial_bn_stats_freeze(train_setup):
         elif not np.array_equal(before, after):
             changed += 1
     assert pinned > 0 and changed > 0
+
+
+def test_cross_config_warm_start_partial_restore(tmp_path):
+    """The shipped two-stage recipe: a warmup checkpoint (NO acceptance
+    branch) warm-starts the groomed model (acceptance branch present).
+    The restore must key-intersect like the reference's load_weights
+    (lib/core.py:641-668): shared tensors come from the checkpoint, the
+    acceptance branch keeps its fresh init.  Caught live by the round-4
+    full-scale rehearsal (orbax strict restore refused the tree)."""
+    import dataclasses
+
+    from groomed_nms_tpu.models import RPN3D, RPNConfig
+    from groomed_nms_tpu.models.densenet import tiny_densenet_config
+
+    base = RPNConfig(num_classes=4, num_anchors=6, prop_features=64,
+                     predict_acceptance_prob=False,
+                     backbone=tiny_densenet_config())
+    tx = build_optimizer("sgd", build_lr_schedule(0.004, max_iter=100))
+    warm = create_train_state(RPN3D(base), (1, 64, 128, 3), tx,
+                              rng=jax.random.PRNGKey(1))
+    save_checkpoint(str(tmp_path), warm, step=800)
+
+    groomed_cfg = dataclasses.replace(base, predict_acceptance_prob=True)
+    groomed = create_train_state(RPN3D(groomed_cfg), (1, 64, 128, 3), tx,
+                                 rng=jax.random.PRNGKey(2))
+    fresh_accept = jax.device_get(groomed.params["accept_out"])
+    restored = restore_checkpoint(str(tmp_path), groomed, 800,
+                                  restore_optimizer=False)
+
+    # shared tensors: from the checkpoint
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["head"]["kernel"]),
+        np.asarray(warm.params["head"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["prop_feats"]["kernel"]),
+        np.asarray(warm.params["prop_feats"]["kernel"]))
+    # acceptance branch: keeps the groomed model's fresh init
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["accept_out"]["kernel"]),
+        np.asarray(fresh_accept["kernel"]))
+    # batch_stats intersected too
+    leaves_r = jax.tree_util.tree_leaves(restored.batch_stats)
+    leaves_w = jax.tree_util.tree_leaves(warm.batch_stats)
+    assert len(leaves_r) == len(leaves_w)
+    for lr_, lw in zip(leaves_r, leaves_w):
+        np.testing.assert_array_equal(np.asarray(lr_), np.asarray(lw))
