@@ -45,16 +45,15 @@ def main():
     from groomed_nms_tpu.config import load_config
     from groomed_nms_tpu.data.imdb import build_imdb
     from groomed_nms_tpu.data.pipeline import TrainLoader, prepare_anchors
-    from groomed_nms_tpu.data.augment import (preprocess_images,
-                                              preprocess_images_train)
     from groomed_nms_tpu.anchors import locate_anchors
     from groomed_nms_tpu.models import RPN3D
     from groomed_nms_tpu.parallel import create_mesh, shard_batch, \
         shard_train_step
     from groomed_nms_tpu.training import (StatTracker, build_lr_schedule,
                                           build_optimizer, create_train_state,
-                                          latest_checkpoint, make_train_step,
-                                          restore_checkpoint, save_checkpoint)
+                                          fuse_preprocess, latest_checkpoint,
+                                          make_train_step, restore_checkpoint,
+                                          save_checkpoint)
 
     cfg = load_config(args.config)
     if args.max_iter:
@@ -224,49 +223,28 @@ def main():
         loader = TrainLoader(imdb, cfg, seed=cfg.rng_seed,
                              raw_cache_dir=cache_dir)
     mesh = create_mesh()
-    sharded_step = shard_train_step(step_fn, mesh)
+    # preprocess fused INTO the jitted step: the loop makes exactly two
+    # runtime calls per iteration (one whole-tree device_put + one step) --
+    # any more and the axon tunnel's per-call dispatch latency dominates
+    # (measured 400 ms/iter wall vs 55 ms device step before fusing)
+    fused_step = fuse_preprocess(
+        step_fn, cfg.image_means, cfg.image_stds, target_h=cfg.crop_size[0],
+        crop_w=cfg.crop_size[1], distort_prob=cfg.distort_prob,
+        rng_seed=cfg.rng_seed, video=is_video)
+    sharded_step = shard_train_step(fused_step, mesh)
     tracker = StatTracker(cfg.max_iter, cfg.display,
                           start_iter=int(state.step))
     from groomed_nms_tpu.training.stats import MetricsCSV
     metrics_csv = MetricsCSV(os.path.join(out_dir, "metrics.csv"))
-    means_img = jnp.asarray(cfg.image_means)
-    stds_img = jnp.asarray(cfg.image_stds)
 
     from groomed_nms_tpu.data.pipeline import device_prefetch
 
-    distort_base_key = jax.random.PRNGKey(cfg.rng_seed + 1)
-    batch_counter = [0]
-
     def to_device_batch(hb):
-        if is_video:
-            # clip [B, F, H0, W0, 3]: preprocess frames flat (mirror flag
-            # repeated per frame so a mirrored sample flips the whole clip)
-            u8 = hb["images_u8"]
-            b_, f_ = u8.shape[:2]
-            flat = preprocess_images(
-                jnp.asarray(u8.reshape((b_ * f_,) + u8.shape[2:])),
-                jnp.asarray(np.repeat(hb["mirror"], f_)),
-                means_img, stds_img, target_h=cfg.crop_size[0],
-                crop_w=cfg.crop_size[1])
-            images = flat.reshape(b_, f_, cfg.crop_size[0],
-                                  cfg.crop_size[1], 3)
-            return shard_batch(mesh, dict(images=images,
-                                          **hb["gt"]._asdict()))
-        if cfg.distort_prob > 0:
-            # fresh fold per batch; photometric jitter fuses into the same
-            # preprocess program (reference lib/augmentations.py:339-376)
-            key = jax.random.fold_in(distort_base_key, batch_counter[0])
-            batch_counter[0] += 1
-            images = preprocess_images_train(
-                jnp.asarray(hb["images_u8"]), jnp.asarray(hb["mirror"]),
-                means_img, stds_img, key, target_h=cfg.crop_size[0],
-                crop_w=cfg.crop_size[1], distort_prob=cfg.distort_prob)
-        else:
-            images = preprocess_images(
-                jnp.asarray(hb["images_u8"]), jnp.asarray(hb["mirror"]),
-                means_img, stds_img, target_h=cfg.crop_size[0],
-                crop_w=cfg.crop_size[1])
-        return shard_batch(mesh, dict(images=images, **hb["gt"]._asdict()))
+        # raw host tree -> ONE async sharded transfer; everything else
+        # (flip, resize, normalise, photometric jitter) runs inside the step
+        return shard_batch(mesh, dict(images_u8=hb["images_u8"],
+                                      mirror=hb["mirror"],
+                                      **hb["gt"]._asdict()))
 
     # snapshot-time evaluation (reference train_rpn_3d.py:162-189 writes txt
     # + runs the evaluator at every snapshot when conf.do_test)
