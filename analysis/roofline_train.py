@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--trace", default=None,
                     help="also capture a profiler trace into this dir")
+    ap.add_argument("--remat", action="store_true",
+                    help="train mode: rematerialize dense layers "
+                         "(DenseNetConfig.remat_layers)")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +46,8 @@ def main():
 
     if args.mode == "train":
         from __graft_entry__ import _flagship_train
-        step_fn, state, host_batch = _flagship_train(batch=args.batch)
+        step_fn, state, host_batch = _flagship_train(batch=args.batch,
+                                                     remat=args.remat)
         jfn = jax.jit(step_fn)
         dev_batch = jax.device_put(host_batch)
         lowered = jfn.lower(state, dev_batch)

@@ -174,6 +174,9 @@ class ExperimentConfig:
     # backbone (tiny=True used by tests / dry runs)
     backbone_tiny: bool = False
     compute_dtype: str = "float32"            # or "bfloat16"
+    # rematerialize dense layers in the train step's backward pass (see
+    # DenseNetConfig.remat_layers for the roofline rationale)
+    backbone_remat: bool = False
 
     # derived --------------------------------------------------------------
     @property
@@ -203,8 +206,10 @@ class ExperimentConfig:
         if self.backbone_tiny:
             from .models.densenet import tiny_densenet_config
             cfg = tiny_densenet_config(dtype)
-            return dataclasses.replace(cfg, bn_momentum=bn_momentum)
-        return DenseNetConfig(dtype=dtype, bn_momentum=bn_momentum)
+            return dataclasses.replace(cfg, bn_momentum=bn_momentum,
+                                       remat_layers=self.backbone_remat)
+        return DenseNetConfig(dtype=dtype, bn_momentum=bn_momentum,
+                              remat_layers=self.backbone_remat)
 
     def rpn_config(self, num_anchors: int) -> RPNConfig:
         return RPNConfig(

@@ -26,6 +26,7 @@ from typing import Sequence
 
 import flax.linen as nn
 
+import jax
 import jax.numpy as jnp
 
 
@@ -72,6 +73,16 @@ class DenseNetConfig:
     # width-fold factor for the s2d stem: 2 (one conv, 6 channels) or 4
     # (even/odd phase convs, 12 channels -- see stem_s2d4_conv)
     stem_fold: int = 2
+    # Rematerialize each dense layer in the backward pass (training only;
+    # no effect on inference graphs, which save nothing anyway).  The
+    # batch-8 train step sits at the HBM roofline with the MXU at 15%
+    # (docs/BENCHMARKS.md round-4 closure), so recomputing the per-layer
+    # BN/ReLU/bottleneck-conv chain instead of saving its activations
+    # trades idle MXU cycles for the binding resource.  Layer INPUTS are
+    # the chunk tensors that exist across layers regardless, so remat
+    # stores nothing extra.  Param/batch_stats trees are unchanged
+    # (lifted transform preserves module names).
+    remat_layers: bool = False
 
     @property
     def out_features(self) -> int:
@@ -414,6 +425,15 @@ class DenseNetBackbone(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         features = cfg.stem_features
+        VLayer, Layer = VDenseLayer, DenseLayer
+        if cfg.remat_layers:
+            # static_argnums counts self: (sources/x, train) -> train is 2
+            VLayer = nn.remat(
+                VDenseLayer, static_argnums=(2,),
+                policy=jax.checkpoint_policies.nothing_saveable)
+            Layer = nn.remat(
+                DenseLayer, static_argnums=(2,),
+                policy=jax.checkpoint_policies.nothing_saveable)
         if cfg.virtual_concat:
             # parts = chunks + pending: new growth tensors collect in
             # `pending` and merge into a 128-channel chunk every 4 layers
@@ -423,7 +443,7 @@ class DenseNetBackbone(nn.Module):
             chunks, pending, pend_c = [x], [], 0
             for bi, num_layers in enumerate(cfg.block_layers):
                 for li in range(num_layers):
-                    new = VDenseLayer(
+                    new = VLayer(
                         features + li * cfg.growth_rate,
                         cfg.growth_rate, cfg.bn_size,
                         cfg.block_dilations[bi], cfg.dtype, cfg.bn_momentum,
@@ -450,7 +470,7 @@ class DenseNetBackbone(nn.Module):
 
         for bi, num_layers in enumerate(cfg.block_layers):
             for li in range(num_layers):
-                new = DenseLayer(
+                new = Layer(
                     cfg.growth_rate, cfg.bn_size,
                     cfg.block_dilations[bi], cfg.dtype, cfg.bn_momentum,
                     name=f"denseblock{bi + 1}_layer{li + 1}")(x, train)

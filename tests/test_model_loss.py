@@ -247,17 +247,25 @@ def test_loss_acceptance_rank_mode_finite(tiny_setup):
 
 
 def test_loss_config_rejects_unimplemented_acceptance_modes():
-    """classify mode and non-foregrounds active sets are unshipped in the
-    reference; asking for them must fail loudly, not silently train a
-    dead acceptance head."""
-    with pytest.raises(NotImplementedError, match="classify"):
-        LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
-                   acceptance_prob_mode="classify")
+    """Non-foregrounds active sets are unshipped in the reference; asking
+    for them must fail loudly, not silently train a dead acceptance head.
+    classify mode IS implemented (round 4) but its bin spec is validated
+    at construction."""
     with pytest.raises(NotImplementedError, match="foregrounds"):
         LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
                    boxes_for_acceptance_prob="all")
-    # harmless when the term is off
-    LossConfig(acceptance_prob_mode="classify")
+    with pytest.raises(ValueError, match="bins"):
+        LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
+                   acceptance_prob_mode="classify",
+                   acceptance_prob_classify_bins=1)
+    with pytest.raises(ValueError, match="boundar"):
+        LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
+                   acceptance_prob_mode="classify",
+                   acceptance_prob_classify_bins=3, bins_boundary=(0.5,))
+    # valid classify config constructs
+    LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
+               acceptance_prob_mode="classify",
+               acceptance_prob_classify_bins=2, bins_boundary=(0.5,))
 
 
 def test_loss_topk_clamped_to_small_feature_maps(tiny_setup):

@@ -355,3 +355,46 @@ def test_cross_config_warm_start_partial_restore(tmp_path):
     assert len(leaves_r) == len(leaves_w)
     for lr_, lw in zip(leaves_r, leaves_w):
         np.testing.assert_array_equal(np.asarray(lr_), np.asarray(lw))
+
+
+def test_backbone_remat_matches_unrematerialized():
+    """DenseNetConfig.remat_layers must be a pure scheduling change: same
+    param/batch_stats tree, same forward value, matching gradients (the
+    roofline lever for the HBM-bound train step, docs/BENCHMARKS.md r4)."""
+    import dataclasses
+
+    from groomed_nms_tpu.models.densenet import DenseNetBackbone
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 32, 64, 3)).astype(np.float32))
+    results = []
+    for remat in (False, True):
+        cfg = dataclasses.replace(tiny_densenet_config(), remat_layers=remat)
+        net = DenseNetBackbone(cfg)
+        vs = net.init(jax.random.PRNGKey(0), x, True)
+
+        def loss(p):
+            y, mut = net.apply(
+                {"params": p, "batch_stats": vs["batch_stats"]}, x, True,
+                mutable=["batch_stats"])
+            return jnp.mean(y * y), mut["batch_stats"]
+
+        (val, bs), grads = jax.jit(
+            jax.value_and_grad(loss, has_aux=True))(vs["params"])
+        results.append((vs, float(val), grads, bs))
+
+    (vs0, v0, g0, bs0), (vs1, v1, g1, bs1) = results
+    paths0 = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_flatten_with_path(vs0)[0]]
+    paths1 = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_flatten_with_path(vs1)[0]]
+    assert paths0 == paths1              # checkpoints interchangeable
+    np.testing.assert_allclose(v0, v1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs0),
+                    jax.tree_util.tree_leaves(bs1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
