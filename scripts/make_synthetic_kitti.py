@@ -30,21 +30,36 @@ def main():
     ap.add_argument("--classes", default="Car",
                     help="comma-separated KITTI classes")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--video", action="store_true",
+                    help="generate a tracking tree (prev_2 frames, raw "
+                         "drives with poses + track-id labels) instead of "
+                         "a still tree")
+    ap.add_argument("--n-prev", type=int, default=3,
+                    help="--video: previous frames per record")
     args = ap.parse_args()
 
-    from groomed_nms_tpu.data.synthetic import make_synthetic_kitti
+    from groomed_nms_tpu.data.synthetic import (make_synthetic_kitti,
+                                                make_synthetic_kitti_video)
     classes = tuple(args.classes.split(","))
     t0 = time.time()
 
     def progress(done, total):
         print(f"  {done}/{total} ({time.time() - t0:.0f}s)", flush=True)
 
-    for split, n, seed in (("training", args.train, args.seed),
-                           ("validation", args.val, args.seed + 1)):
-        print(f"{split}: {n} images @ {args.im_h}x{args.im_w}")
-        make_synthetic_kitti(args.root, split, n, im_h=args.im_h,
-                             im_w=args.im_w, seed=seed, classes=classes,
-                             progress=progress)
+    if args.video:
+        print(f"video tree: {args.train} train / {args.val} val records "
+              f"@ {args.im_h}x{args.im_w}, n_prev={args.n_prev}")
+        make_synthetic_kitti_video(args.root, n_train=args.train,
+                                   n_val=args.val, n_prev=args.n_prev,
+                                   im_h=args.im_h, im_w=args.im_w,
+                                   seed=args.seed, progress=progress)
+    else:
+        for split, n, seed in (("training", args.train, args.seed),
+                               ("validation", args.val, args.seed + 1)):
+            print(f"{split}: {n} images @ {args.im_h}x{args.im_w}")
+            make_synthetic_kitti(args.root, split, n, im_h=args.im_h,
+                                 im_w=args.im_w, seed=seed, classes=classes,
+                                 progress=progress)
     print(f"done in {time.time() - t0:.1f}s -> {args.root}")
 
 

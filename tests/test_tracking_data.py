@@ -135,3 +135,47 @@ def test_mapping_parsers(tmp_path):
     rand = read_train_rand(str(rf))
     assert map_image_to_raw(0, mapping, rand) == ("drive_b", "0000000009")
     assert map_image_to_raw(1, mapping, rand) == ("drive_a", "0000000001")
+
+
+def test_synthetic_video_tree_through_imdb(tmp_path):
+    """make_synthetic_kitti_video's geometry conventions must survive the
+    library's OWN pose/velocity math: parked cars get ~0 velocity, movers
+    their world speed, egos ~forward motion, and consecutive records
+    share frames (record i's prev_1 == record i-1's image)."""
+    from groomed_nms_tpu.data.synthetic import make_synthetic_kitti_video
+
+    root = str(tmp_path / "kitti_split1")
+    make_synthetic_kitti_video(root, n_train=8, n_val=3, n_prev=2,
+                               im_h=112, im_w=372, seed=3)
+    imdb = build_tracking_imdb(root, "training", n_prev=2)
+    assert len(imdb) == 8
+
+    vels_parked, vels_moving = [], []
+    for rec in imdb:
+        assert rec.has_track and "10" in rec.egos and "21" in rec.egos
+        dx, dy, dz = rec.egos["10"][:3]
+        # prev camera origin in the current frame: ~1.1 m behind
+        assert -1.45 < dz < -0.75 and abs(dx) < 0.3 and abs(dy) < 1e-6
+        cur = rec.gts_frames[0]
+        if cur is None or "vel" not in cur:
+            continue
+        for v in cur["vel"]:
+            if not np.isfinite(v):
+                continue
+            (vels_moving if v > 0.15 else vels_parked).append(float(v))
+    assert vels_parked, "no parked cars matched across frames"
+    assert max(vels_parked) < 0.06      # label rounding only
+    for v in vels_moving:
+        assert 0.2 < v < 1.8            # spawned mover speed range
+
+    # frame overlap: record i's prev_1 bytes == record i-1's current image
+    img1 = open(os.path.join(root, "training", "prev_2",
+                             "000001_01.png"), "rb").read()
+    img0 = open(os.path.join(root, "training", "image_2",
+                             "000000.png"), "rb").read()
+    assert img1 == img0
+
+    # validation split resolves through the same global rand/mapping
+    val = build_tracking_imdb(root, "validation", n_prev=2)
+    assert len(val) == 3 and all(r.raw_seq != imdb[0].raw_seq for r in val)
+    assert all(r.has_track for r in val)
