@@ -34,8 +34,23 @@ class StatTracker:
             self._pending[k].append(v)
 
     def means(self):
+        # ONE bulk device_get of the whole stash: jax issues the host
+        # copies for every leaf asynchronously before blocking, so the
+        # display pays ~one round trip total. Per-value float() here would
+        # be display*n_stats SEQUENTIAL round trips -- measured 40+ s per
+        # 100-iter window over the remote-dispatch tunnel, silently
+        # dominating the training loop's wall clock.
+        import jax
+
+        pend = jax.device_get({k: list(vs)
+                               for k, vs in self._pending.items()})
         return {k: sum(float(v) for v in vs) / max(len(vs), 1)
-                for k, vs in self._pending.items()}
+                for k, vs in pend.items()}
+
+    def log_line_and_means(self, iteration, lr=None):
+        """One means() pull shared by the log line and the CSV row."""
+        means = self.means()
+        return self._render(iteration, means, lr), means
 
     def eta(self, iteration):
         done = max(iteration - self.start_iter, 1)
@@ -46,7 +61,9 @@ class StatTracker:
         return f"{h}h{m}m{s}s", dt
 
     def log_line(self, iteration, lr=None):
-        means = self.means()
+        return self._render(iteration, self.means(), lr)
+
+    def _render(self, iteration, means, lr=None):
         eta, dt = self.eta(iteration)
         parts = [f"iter: {iteration}"]
         for k in sorted(means):

@@ -288,8 +288,10 @@ def main():
             tracker.update(dict(stats, host_wait=host_wait))
 
             if (it + 1) % cfg.display == 0:
-                log.info(tracker.log_line(it + 1, lr=float(schedule(it))))
-                metrics_csv.append(it + 1, tracker.means())
+                line, window_means = tracker.log_line_and_means(
+                    it + 1, lr=float(schedule(it)))
+                log.info(line)
+                metrics_csv.append(it + 1, window_means)
                 tracker.reset()
             if (it + 1) % cfg.snapshot_iter == 0 or (it + 1) == cfg.max_iter:
                 path = save_checkpoint(out_dir, state)
