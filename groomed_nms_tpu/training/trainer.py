@@ -124,10 +124,17 @@ def build_optimizer(solver_type="sgd", lr_schedule=None, momentum=0.9,
 
 
 def create_train_state(model, images_shape, tx, rng=None):
-    """Initialise model variables + optimizer state."""
+    """Initialise model variables + optimizer state.
+
+    The init is jitted as ONE graph: flax's ``Module.init`` otherwise
+    executes every parameter initializer eagerly -- hundreds of tiny
+    dispatches that cost a round trip each on remote-dispatch platforms
+    (measured 265 s per process start on the axon tunnel vs ~seconds for
+    the single jitted + persistently-cached graph).
+    """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros(images_shape, jnp.float32),
-                           train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, jnp.zeros(images_shape, jnp.float32), train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

@@ -190,9 +190,11 @@ def assemble_video_variables(video_model, single_frame_state, pose_npz=None,
     import jax
     import jax.numpy as jnp
 
-    variables = video_model.init(jax.random.PRNGKey(0),
-                                 jnp.zeros(example_shape, jnp.float32),
-                                 train=False)
+    # one jitted init graph: eager flax init pays a dispatch round trip
+    # per parameter on remote platforms (see trainer.create_train_state)
+    variables = jax.jit(video_model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros(example_shape, jnp.float32),
+        train=False)
     params = dict(variables["params"])
     stats = dict(variables.get("batch_stats", {}))
     params["rpn"] = single_frame_state.params
