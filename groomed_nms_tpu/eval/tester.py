@@ -191,15 +191,12 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
     t0 = time.time()
     n_done = 0
     n_rendered = 0
-    for chunk, (imgs_d, hw_d, p2_d, p2i_d, scale_d) in device_prefetch(
-            chunk_iter(),
-            transform=lambda x: (x[0], tuple(put(t) for t in x[1]))):
-        n = len(chunk)
-        dets, valid = infer(imgs_d, hw_d, p2_d, p2i_d, scale_d)
-        if refine:
-            dets = refine_detections(dets, valid, p2_d, p2i_d)
+
+    def flush(chunk, dets, valid):
+        nonlocal n_done, n_rendered
         dets = np.asarray(dets)
         valid = np.asarray(valid)
+        n = len(chunk)
         for bi, rec in enumerate(chunk):
             d = dets[bi]
             if cfg.clip_boxes:
@@ -223,6 +220,28 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
             dt = (time.time() - t0) / max(n_done, 1)
             log_fn(f"tested {n_done}/{len(imdb)}, "
                    f"{1.0 / max(dt, 1e-9):.1f} img/s")
+
+    # keep a few batches in flight: converting a batch's detections to
+    # numpy blocks on its result, so doing it immediately serialises
+    # dispatch -> compute -> pull per batch (one round trip each on
+    # remote-dispatch platforms). A 3-deep deque lets later dispatches
+    # queue while earlier results stream back. (On the tunneled dev TPU a
+    # 100-image eval is still dominated by the one-time compiled-graph
+    # load, ~60 s even on a cache hit -- the deque matters for real-size
+    # val sets where the loop rate, not the load, is the bill.)
+    from collections import deque
+    inflight = deque()
+    for chunk, (imgs_d, hw_d, p2_d, p2i_d, scale_d) in device_prefetch(
+            chunk_iter(),
+            transform=lambda x: (x[0], tuple(put(t) for t in x[1]))):
+        dets, valid = infer(imgs_d, hw_d, p2_d, p2i_d, scale_d)
+        if refine:
+            dets = refine_detections(dets, valid, p2_d, p2i_d)
+        inflight.append((chunk, dets, valid))
+        if len(inflight) > 3:
+            flush(*inflight.popleft())
+    while inflight:
+        flush(*inflight.popleft())
 
     log_fn(f"inference done: {n_done / max(time.time() - t0, 1e-9):.1f} "
            "img/s end-to-end")
