@@ -298,15 +298,18 @@ class TrainLoader:
         self._thread.start()
 
     def _load_image(self, rec):
+        return self._load_cached(rec.image_path, rec.id)
+
+    def _load_cached(self, image_path, key):
         if self._cache_dir:
-            p = os.path.join(self._cache_dir, rec.id + ".npy")
+            p = os.path.join(self._cache_dir, key + ".npy")
             try:
                 # mmap: the batch-plane copy pulls straight from page cache
                 return np.load(p, mmap_mode="r")
             except (FileNotFoundError, ValueError, EOFError):
                 pass  # miss or torn write: decode + (re)populate
         from PIL import Image
-        with Image.open(rec.image_path) as im:
+        with Image.open(image_path) as im:
             arr = np.asarray(im.convert("RGB"), np.uint8)
         if self._cache_dir:
             tmp = p + f".tmp{os.getpid()}.{threading.get_ident()}"
@@ -460,10 +463,12 @@ class VideoTrainLoader(TrainLoader):
     wrapped in :class:`ClipRecordView` automatically.
     """
 
-    def __init__(self, imdb, cfg, seed=0, prefetch=4, n_frames=None):
+    def __init__(self, imdb, cfg, seed=0, prefetch=4, n_frames=None,
+                 raw_cache_dir=None):
         self.n_frames = n_frames or max(1, cfg.video_count)
         views = [r if hasattr(r, "gts") else ClipRecordView(r) for r in imdb]
-        super().__init__(views, cfg, seed=seed, prefetch=prefetch)
+        super().__init__(views, cfg, seed=seed, prefetch=prefetch,
+                         raw_cache_dir=raw_cache_dir)
 
     def _make_batch(self):
         cfg = self.cfg
@@ -491,9 +496,10 @@ class VideoTrainLoader(TrainLoader):
         return self._finish_batch(img_arr, gts_list, p2s, scales, mirrors)
 
     def _load_image_path(self, path):
-        from PIL import Image
-        with Image.open(path) as im:
-            return np.asarray(im.convert("RGB"), np.uint8)
+        # cache key = filename stem: current frames ("000001") and history
+        # frames ("000001_01") are distinct within a split's cache dir
+        return self._load_cached(
+            path, os.path.splitext(os.path.basename(path))[0])
 
     def _load_clip(self, rec):
         """Load ``n_frames`` frames ordered oldest -> current.
@@ -525,25 +531,41 @@ class VideoTrainLoader(TrainLoader):
 def device_prefetch(host_iter, transform=None, depth=2):
     """Overlap host->device transfer with device compute.
 
-    ``jax.device_put`` is asynchronous; keeping ``depth`` batches in flight
-    hides the transfer latency behind the previous step's execution (on the
-    tunneled dev TPU the 21 MB batch transfer otherwise dominates the step).
-    ``transform`` maps the host batch to the array tree to transfer.
+    ``jax.device_put`` is asynchronous, but the CALL itself serialises and
+    ships the batch bytes on remote-dispatch platforms (measured 130-150 ms
+    for a 6 MB clip batch over the axon tunnel), so issuing it inline
+    would still stall the training loop. A worker thread pulls host
+    batches, applies ``transform`` (expected to issue the device_put
+    itself, e.g. ``parallel.shard_batch``; plain ``jax.device_put`` when
+    absent -- re-putting an already-sharded tree would silently reshard
+    it), and keeps ``depth`` transferred batches queued; the consumer's
+    ``next()`` only pops. JAX dispatch is thread-safe; arrays created in
+    the worker are consumed by steps dispatched from the caller's thread.
     """
-    import collections
+    import queue
+    import threading
 
     import jax
 
-    buf = collections.deque()
-    for item in host_iter:
-        # the transform is expected to issue the (async) device_put itself
-        # (e.g. parallel.shard_batch); only fall back to a plain device_put
-        # when no transform is given -- re-putting an already-sharded tree
-        # would silently reshard it onto the default device.
-        item = transform(item) if transform is not None \
-            else jax.device_put(item)
-        buf.append(item)
-        if len(buf) >= depth:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    q = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in host_iter:
+                q.put(transform(item) if transform is not None
+                      else jax.device_put(item))
+            q.put(stop)
+        except BaseException as e:     # surface errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="device_prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

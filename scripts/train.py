@@ -213,7 +213,8 @@ def main():
             cfg.loss_config(), jnp.asarray(rois), jnp.asarray(rois_3d),
             means.astype(np.float32), stds.astype(np.float32),
             train_bn=train_bn, frozen_stats_mask=frozen_mask)
-        loader = VideoTrainLoader(imdb, cfg, seed=cfg.rng_seed)
+        loader = VideoTrainLoader(imdb, cfg, seed=cfg.rng_seed,
+                                  raw_cache_dir=cache_dir)
     else:
         step_fn = make_train_step(cfg.loss_config(), jnp.asarray(rois),
                                   jnp.asarray(rois_3d),

@@ -239,3 +239,31 @@ def test_has_vel_requires_decomp_alpha():
     from groomed_nms_tpu.losses import LossConfig
     with pytest.raises(ValueError, match="decomp_alpha"):
         LossConfig(has_vel=True, decomp_alpha=False)
+
+
+def test_video_loader_raw_cache(tmp_path):
+    """Clip batches are bit-identical with the raw decoded-frame cache off,
+    cold (populating), and warm; history frames cache under distinct keys
+    (stem '000000_01' vs current '000000')."""
+    root = _make_tracking_tree(str(tmp_path / "kitti_split1"), n_prev=1)
+    cfg = _video_cfg()
+    imdb = [ClipRecordView(r)
+            for r in build_tracking_imdb(root, "training", n_prev=1)]
+    cache = str(tmp_path / "decoded")
+
+    def pull(loader, n=3):
+        out = [next(loader) for _ in range(n)]
+        loader.close()
+        return out
+
+    plain = pull(VideoTrainLoader(imdb, cfg, seed=5, prefetch=1))
+    cold = pull(VideoTrainLoader(imdb, cfg, seed=5, prefetch=1,
+                                 raw_cache_dir=cache))
+    names = sorted(os.listdir(cache))
+    assert any("_01" in n for n in names), names   # history frames cached
+    warm = pull(VideoTrainLoader(imdb, cfg, seed=5, prefetch=1,
+                                 raw_cache_dir=cache))
+    for a, b, c in zip(plain, cold, warm):
+        np.testing.assert_array_equal(a["images_u8"], b["images_u8"])
+        np.testing.assert_array_equal(a["images_u8"], c["images_u8"])
+        np.testing.assert_array_equal(a["gt"].gts_3d, c["gt"].gts_3d)
