@@ -155,6 +155,13 @@ def main():
     if args.restore is not None:
         state = restore_checkpoint(out_dir, state, args.restore)
         log.info("restored iter %d", int(state.step))
+    elif latest_checkpoint(out_dir) is not None:
+        # crash/requeue recovery: a checkpoint in OUR output dir means this
+        # exact run already started -- resume it rather than warm-starting
+        # over it (reference resume knob: conf.restore, lib/core.py:99-127;
+        # the auto pick-latest is the orbax-era convenience)
+        state = restore_checkpoint(out_dir, state)
+        log.info("auto-resumed own checkpoint at iter %d", int(state.step))
     elif cfg.pretrained and latest_checkpoint(cfg.pretrained) is not None:
         if is_video:
             # warm-start the rpn subtree from the single-frame `_un`

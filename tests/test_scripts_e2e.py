@@ -104,6 +104,20 @@ def test_train_then_test_scripts(tmp_path):
         assert list(snap_results.glob("stats_*")), \
             "snapshot eval must run the evaluator"
 
+    # crash/requeue recovery: re-running the SAME command with a higher
+    # max_iter must auto-resume from our own latest checkpoint, not
+    # restart or warm-start over it
+    resume = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train.py"),
+         "--config", "tiny_synthetic", "--data-root", str(data_root),
+         "--output", str(out_root), "--max-iter", "6"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(tmp_path))
+    assert resume.returncode == 0, resume.stderr[-3000:]
+    log_text = (out_root / "tiny_synthetic" / "train.log").read_text()
+    assert "auto-resumed own checkpoint at iter 4" in log_text
+    assert (weights / "checkpoint_6").is_dir(), "resume must continue to 6"
+
     test = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "test.py"),
          "--config", "tiny_synthetic", "--data-root", str(data_root),
