@@ -126,22 +126,28 @@ def build_optimizer(solver_type="sgd", lr_schedule=None, momentum=0.9,
 def create_train_state(model, images_shape, tx, rng=None):
     """Initialise model variables + optimizer state.
 
-    The init is jitted as ONE graph: flax's ``Module.init`` otherwise
-    executes every parameter initializer eagerly -- hundreds of tiny
-    dispatches that cost a round trip each on remote-dispatch platforms
-    (measured 265 s per process start on the axon tunnel vs ~seconds for
-    the single jitted + persistently-cached graph).
+    Model init AND optimizer init are jitted as ONE graph: flax's
+    ``Module.init`` and optax's ``tx.init`` otherwise execute every
+    parameter/momentum initializer eagerly -- hundreds of tiny dispatches
+    that cost a round trip each on remote-dispatch platforms (measured
+    265 s per process start on the axon tunnel vs ~12 s for the single
+    jitted + persistently-cached graph).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        rng, jnp.zeros(images_shape, jnp.float32), train=False)
+
+    def _init(rng):
+        variables = model.init(rng, jnp.zeros(images_shape, jnp.float32),
+                               train=False)
+        return variables, tx.init(variables["params"])
+
+    variables, opt_state = jax.jit(_init)(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         un_state=UncertaintyState.init(),
         tx=tx,
         apply_fn=model.apply,
