@@ -129,27 +129,23 @@ def locate_anchors(anchors, feat_size, stride):
     """Tile anchors over the feature grid in (h, w, a) order.
 
     anchors [A, >=4] -> rois [H*W*A, 5] of [x1, y1, x2, y2, anchor_index].
+
+    Pure numpy on purpose: this runs once per process, every caller
+    converts the result to numpy anyway, and the eager jnp version paid
+    device dispatch per op -- measured 150+ s over the remote-dispatch
+    tunnel for a microseconds-sized broadcast.
     """
-    anchors = jnp.asarray(anchors)
+    anchors = np.asarray(anchors, np.float32)
     h, w = int(feat_size[0]), int(feat_size[1])
     a = anchors.shape[0]
-    shift_x = (jnp.arange(w) * stride).astype(jnp.float32)
-    shift_y = (jnp.arange(h) * stride).astype(jnp.float32)
-    shifts = jnp.stack(
-        jnp.broadcast_arrays(
-            shift_x[None, :, None],  # x
-            shift_y[:, None, None],  # y
-        ),
-        axis=-1,
-    )  # [H, W, A(broadcast later), 2]
-    boxes = anchors[None, None, :, :4] + jnp.concatenate(
-        [shifts[..., 0:1], shifts[..., 1:2], shifts[..., 0:1], shifts[..., 1:2]],
-        axis=-1,
-    )  # [H, W, A, 4]
-    tracker = jnp.broadcast_to(
-        jnp.arange(a, dtype=jnp.float32)[None, None, :], (h, w, a)
-    )
-    rois = jnp.concatenate([boxes, tracker[..., None]], axis=-1)
+    shift_x = (np.arange(w, dtype=np.float32) * stride)[None, :, None]
+    shift_y = (np.arange(h, dtype=np.float32) * stride)[:, None, None]
+    sx = np.broadcast_to(shift_x, (h, w, a))
+    sy = np.broadcast_to(shift_y, (h, w, a))
+    boxes = anchors[None, None, :, :4] + np.stack([sx, sy, sx, sy], axis=-1)
+    tracker = np.broadcast_to(
+        np.arange(a, dtype=np.float32)[None, None, :], (h, w, a))
+    rois = np.concatenate([boxes, tracker[..., None]], axis=-1)
     return rois.reshape(h * w * a, 5)
 
 
