@@ -24,9 +24,15 @@ def create_mesh(devices=None, axis_name=DATA_AXIS):
     return Mesh(np.array(devices), (axis_name,))
 
 
-def batch_sharding(mesh, axis_name=DATA_AXIS):
-    """Sharding for [B, ...] arrays: batch split over the data axis."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh, axis_name=DATA_AXIS, stacked=False):
+    """Sharding for [B, ...] arrays: batch split over the data axis.
+
+    ``stacked=True`` is for multi-step dispatch trees shaped [K, B, ...]
+    (training.scan_steps): the scan axis stays whole, the batch axis
+    (dim 1) shards.
+    """
+    spec = P(None, axis_name) if stacked else P(axis_name)
+    return NamedSharding(mesh, spec)
 
 
 def replicate(mesh):
@@ -34,17 +40,18 @@ def replicate(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh, tree, axis_name=DATA_AXIS):
+def shard_batch(mesh, tree, axis_name=DATA_AXIS, stacked=False):
     """Device-put a batch pytree with batch-dim sharding.
 
     ONE ``device_put`` call for the whole tree (the sharding broadcasts to
     every leaf): on remote-dispatch platforms a per-leaf tree_map pays one
     round-trip per array, which dominates the training loop's wall time.
     """
-    return jax.device_put(tree, batch_sharding(mesh, axis_name))
+    return jax.device_put(tree, batch_sharding(mesh, axis_name, stacked))
 
 
-def shard_train_step(train_step, mesh, axis_name=DATA_AXIS, donate=False):
+def shard_train_step(train_step, mesh, axis_name=DATA_AXIS, donate=False,
+                     stacked=False):
     """Wrap a (state, batch) -> (state, metrics) step with mesh shardings.
 
     The jitted step is compiled with: state replicated, batch sharded on the
@@ -57,7 +64,7 @@ def shard_train_step(train_step, mesh, axis_name=DATA_AXIS, donate=False):
     optimizer state fits HBM comfortably.  Turn it on for memory-bound runs.
     """
     rep = replicate(mesh)
-    dat = batch_sharding(mesh, axis_name)
+    dat = batch_sharding(mesh, axis_name, stacked)
     return jax.jit(
         train_step,
         in_shardings=(rep, dat),

@@ -8,12 +8,12 @@ single jitted train step.
 
 from .schedules import build_lr_schedule
 from .trainer import TrainState, build_optimizer, create_train_state, \
-    fuse_preprocess, make_train_step, make_video_train_step
+    fuse_preprocess, make_train_step, make_video_train_step, scan_steps
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_checkpoint
 from .stats import StatTracker
 
 __all__ = ["build_lr_schedule", "TrainState", "build_optimizer",
            "create_train_state", "fuse_preprocess", "make_train_step",
-           "make_video_train_step",
+           "make_video_train_step", "scan_steps",
            "save_checkpoint",
            "restore_checkpoint", "latest_checkpoint", "StatTracker"]

@@ -42,9 +42,16 @@ class StatTracker:
         # dominating the training loop's wall clock.
         import jax
 
+        import numpy as np
+
         pend = jax.device_get({k: list(vs)
                                for k, vs in self._pending.items()})
-        return {k: sum(float(v) for v in vs) / max(len(vs), 1)
+        # values may be scalars (one step per update) or [K] vectors
+        # (multi-step dispatch, training.scan_steps): mean over every
+        # recorded inner step either way
+        return {k: float(np.mean(np.concatenate(
+                    [np.atleast_1d(np.asarray(v, np.float64)) for v in vs])))
+                if vs else 0.0
                 for k, vs in pend.items()}
 
     def log_line_and_means(self, iteration, lr=None):

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--data-root", default="data")
     ap.add_argument("--output", default="output")
     ap.add_argument("--max-iter", type=int, default=None)
+    ap.add_argument("--cache-images", action="store_true",
+                    help="decode each frame once into the split's shared "
+                         ".decoded_cache (same mmap .npy cache as "
+                         "scripts/train.py --cache-images)")
     args = ap.parse_args()
 
     from groomed_nms_tpu.platform import ensure_requested_platform
@@ -104,8 +108,22 @@ def main():
         labels)
     opt_state = tx.init(params)
 
+    means_img = jnp.asarray(cfg.image_means)
+    stds_img = jnp.asarray(cfg.image_stds)
+
+    # preprocess (flip + resize + normalise) runs INSIDE the jitted step --
+    # an eager preprocess call per iteration is a dispatch round trip on
+    # remote-dispatch platforms and dominated this loop's wall clock (same
+    # fix as training.fuse_preprocess for the detector loop)
     @jax.jit
-    def step(params, opt_state, images, pose_tar):
+    def step(params, opt_state, imgs_u8, mirrors, pose_tar):
+        b, f, h0, w0, _ = imgs_u8.shape
+        flat = preprocess_images(
+            imgs_u8.reshape(b * f, h0, w0, 3),
+            jnp.repeat(mirrors, f), means_img, stds_img,
+            target_h=cfg.crop_size[0], crop_w=cfg.crop_size[1])
+        images = flat.reshape(b, f, cfg.crop_size[0], cfg.crop_size[1], 3)
+
         def loss_fn(p):
             out = model.apply({"params": p, "batch_stats": batch_stats},
                               images, train=False)
@@ -122,34 +140,60 @@ def main():
 
     rs = np.random.default_rng(cfg.rng_seed)
     tracker = StatTracker(cfg.max_iter, cfg.display)
-    means_img = jnp.asarray(cfg.image_means)
-    stds_img = jnp.asarray(cfg.image_stds)
+
+    # decoded-frame cache: consecutive pairs re-read the same files
+    # constantly (frame t is "cur" now and "prev" next sample).  Disk-backed
+    # mmap .npy (shared with the train loaders, keyed by filename stem) so
+    # RAM stays bounded on full-size tracking splits.
+    cache_dir = os.path.join(root, "training", ".decoded_cache") \
+        if args.cache_images else None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _frame(path):
+        if cache_dir:
+            key = os.path.splitext(os.path.basename(path))[0]
+            p = os.path.join(cache_dir, key + ".npy")
+            try:
+                return np.load(p, mmap_mode="r")
+            except (FileNotFoundError, ValueError, EOFError):
+                pass
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGB"), np.uint8)
+        if cache_dir:
+            tmp = p + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.save(f, arr)
+            os.replace(tmp, p)
+        return arr
+
+    def host_batches():
+        for _ in range(cfg.max_iter):
+            idx = rs.integers(0, len(imdb), size=cfg.batch_size)
+            imgs, targets, mirrors = [], [], []
+            for i in idx:
+                rec = imdb[i]
+                imgs.append(np.stack([_frame(p)
+                                      for p in rec.image_paths[1::-1]]))
+                # mirror augmentation: flip both frames + the pose target
+                # (reference RandomMirror ego path, lib/augmentations.py:290-295)
+                mirror = rs.random() <= cfg.mirror_prob
+                mirrors.append(mirror)
+                ego = np.asarray(mirror_ego(rec.egos["10"]) if mirror
+                                 else rec.egos["10"])
+                targets.append((ego - pose_means) / pose_stds)
+            yield (np.stack(imgs),                       # [B, 2, H0, W0, 3]
+                   np.asarray(mirrors, bool),
+                   np.stack(targets).astype(np.float32))
+
+    # decode + device_put off the main thread (the put CALL serialises the
+    # bytes over the tunnel; see data.pipeline.device_prefetch)
+    from groomed_nms_tpu.data.pipeline import device_prefetch
+    batches = device_prefetch(host_batches())
     for it in range(cfg.max_iter):
-        idx = rs.integers(0, len(imdb), size=cfg.batch_size)
-        imgs, targets, mirrors = [], [], []
-        for i in idx:
-            rec = imdb[i]
-            frames = []
-            for path in rec.image_paths[1::-1]:   # prev1, cur
-                with Image.open(path) as im:
-                    frames.append(np.asarray(im.convert("RGB"), np.uint8))
-            imgs.append(np.stack(frames))
-            # mirror augmentation: flip both frames + the pose target
-            # (reference RandomMirror ego path, lib/augmentations.py:290-295)
-            mirror = rs.random() <= cfg.mirror_prob
-            mirrors.append(mirror)
-            ego = np.asarray(mirror_ego(rec.egos["10"]) if mirror
-                             else rec.egos["10"])
-            targets.append((ego - pose_means) / pose_stds)
-        imgs = np.stack(imgs)                    # [B, 2, H0, W0, 3]
-        b, f, h0, w0, _ = imgs.shape
-        flat = preprocess_images(
-            jnp.asarray(imgs.reshape(b * f, h0, w0, 3)),
-            jnp.repeat(jnp.asarray(mirrors, bool), f), means_img, stds_img,
-            target_h=cfg.crop_size[0], crop_w=cfg.crop_size[1])
-        images = flat.reshape(b, f, cfg.crop_size[0], cfg.crop_size[1], 3)
+        imgs_u8, mirrors, pose_tar = next(batches)
         params, opt_state, l, stats = step(
-            params, opt_state, images, jnp.asarray(np.stack(targets)))
+            params, opt_state, imgs_u8, mirrors, pose_tar)
         tracker.update(stats)
         if (it + 1) % cfg.display == 0:
             log.info(tracker.log_line(it + 1))

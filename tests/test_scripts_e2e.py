@@ -110,12 +110,14 @@ def test_train_then_test_scripts(tmp_path):
     resume = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "train.py"),
          "--config", "tiny_synthetic", "--data-root", str(data_root),
-         "--output", str(out_root), "--max-iter", "6"],
+         "--output", str(out_root), "--max-iter", "6",
+         "--steps-per-dispatch", "2"],
         capture_output=True, text=True, timeout=1200, env=env,
         cwd=str(tmp_path))
     assert resume.returncode == 0, resume.stderr[-3000:]
     log_text = (out_root / "tiny_synthetic" / "train.log").read_text()
     assert "auto-resumed own checkpoint at iter 4" in log_text
+    assert "multi-step dispatch: 2 steps per runtime call" in log_text
     assert (weights / "checkpoint_6").is_dir(), "resume must continue to 6"
 
     test = subprocess.run(

@@ -398,3 +398,41 @@ def test_backbone_remat_matches_unrematerialized():
                     jax.tree_util.tree_leaves(bs1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_scan_steps_matches_sequential(train_setup):
+    """Multi-step dispatch (training.scan_steps) over a stacked [K, ...]
+    batch must be bit-for-bit K sequential steps -- params, opt state,
+    step counter, and per-step stats -- including on a sharded mesh."""
+    from groomed_nms_tpu.training import scan_steps
+
+    mesh = create_mesh(jax.devices()[:2])
+    step_fn = train_setup["step_fn"]
+    b0 = train_setup["batch"]
+    b1 = {k: (v + 0.01).astype(v.dtype) if v.dtype.kind == "f" else v
+          for k, v in b0.items()}
+
+    seq = shard_train_step(step_fn, mesh)
+    state_a = train_setup["make_state"]()
+    with mesh:
+        stats_seq = []
+        for b in (b0, b1):
+            state_a, st = seq(state_a, shard_batch(mesh, b))
+            stats_seq.append({k: float(v) for k, v in st.items()})
+
+    multi = shard_train_step(scan_steps(step_fn), mesh, stacked=True)
+    state_b = train_setup["make_state"]()
+    stacked = {k: np.stack([b0[k], b1[k]]) for k in b0}
+    with mesh:
+        state_b, st2 = multi(state_b, shard_batch(mesh, stacked, stacked=True))
+
+    assert int(state_a.step) == int(state_b.step) == 2
+    for pa, pb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-6, atol=1e-7)
+    for k in stats_seq[0]:
+        got = np.asarray(st2[k], np.float64)
+        assert got.shape[0] == 2
+        np.testing.assert_allclose(
+            got, [stats_seq[0][k], stats_seq[1][k]], rtol=1e-5, atol=1e-6)
