@@ -238,6 +238,36 @@ def prepare_anchors(cfg, imdb, cache_dir=None):
     return anchors, means, stds
 
 
+def load_image_cached(image_path, key, cache_dir=None):
+    """Decode ``image_path`` to uint8 RGB, via the raw mmap cache.
+
+    With ``cache_dir``, the first read writes the decoded array as
+    ``<key>.npy`` and later reads mmap it (page-cache speed, ~50x faster
+    than PNG decode -- essential on single-core hosts). Shared by the
+    train loaders, the pose trainer, and the eval tester, so one decode
+    serves every consumer of the same frame. Costs h*w*3 bytes of disk.
+    """
+    if cache_dir:
+        p = os.path.join(cache_dir, key + ".npy")
+        try:
+            # mmap: the batch-plane copy pulls straight from page cache
+            return np.load(p, mmap_mode="r")
+        except (FileNotFoundError, ValueError, EOFError):
+            pass  # miss or torn write: decode + (re)populate
+    from PIL import Image
+    with Image.open(image_path) as im:
+        arr = np.asarray(im.convert("RGB"), np.uint8)
+    if cache_dir:
+        tmp = p + f".tmp{os.getpid()}.{threading.get_ident()}"
+        try:
+            with open(tmp, "wb") as f:
+                np.save(f, arr)
+            os.replace(tmp, p)  # atomic vs concurrent decode workers
+        except OSError:
+            pass  # cache dir full/read-only: decode-only still correct
+    return arr
+
+
 class TrainLoader:
     """Weighted-sampling batch loader with background prefetch.
 
@@ -298,28 +328,7 @@ class TrainLoader:
         self._thread.start()
 
     def _load_image(self, rec):
-        return self._load_cached(rec.image_path, rec.id)
-
-    def _load_cached(self, image_path, key):
-        if self._cache_dir:
-            p = os.path.join(self._cache_dir, key + ".npy")
-            try:
-                # mmap: the batch-plane copy pulls straight from page cache
-                return np.load(p, mmap_mode="r")
-            except (FileNotFoundError, ValueError, EOFError):
-                pass  # miss or torn write: decode + (re)populate
-        from PIL import Image
-        with Image.open(image_path) as im:
-            arr = np.asarray(im.convert("RGB"), np.uint8)
-        if self._cache_dir:
-            tmp = p + f".tmp{os.getpid()}.{threading.get_ident()}"
-            try:
-                with open(tmp, "wb") as f:
-                    np.save(f, arr)
-                os.replace(tmp, p)  # atomic vs concurrent decode workers
-            except OSError:
-                pass  # cache dir full/read-only: decode-only still correct
-        return arr
+        return load_image_cached(rec.image_path, rec.id, self._cache_dir)
 
     def _sample_indices(self):
         """Weighted record sampling within one size group (a batch must
@@ -498,8 +507,9 @@ class VideoTrainLoader(TrainLoader):
     def _load_image_path(self, path):
         # cache key = filename stem: current frames ("000001") and history
         # frames ("000001_01") are distinct within a split's cache dir
-        return self._load_cached(
-            path, os.path.splitext(os.path.basename(path))[0])
+        return load_image_cached(
+            path, os.path.splitext(os.path.basename(path))[0],
+            self._cache_dir)
 
     def _load_clip(self, rec):
         """Load ``n_frames`` frames ordered oldest -> current.

@@ -69,7 +69,8 @@ def _cached_infer(model, dcfg, target_h, crop_w, bf16_input=False,
 
 def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
                   bbox_stds, imdb, results_dir, gt_dir=None, batch_size=None,
-                  log_fn=None, skip_eval=False, render=0, refine=False):
+                  log_fn=None, skip_eval=False, render=0, refine=False,
+                  raw_cache_dir=None):
     """Run inference over ``imdb`` into ``results_dir``; evaluate if
     ``gt_dir`` exists.
 
@@ -78,12 +79,15 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
     image+BEV figures for the first N val images (reference
     test_rpn_3d.py:200-290) under ``results_dir``/vis.  ``refine`` runs the
     batched z/ry projection-consistency hill-climb on the final detections
-    (see :func:`~groomed_nms_tpu.inference.refine_detections`).
+    (see :func:`~groomed_nms_tpu.inference.refine_detections`).  With
+    ``raw_cache_dir``, decoded images mmap-cache as ``<id>.npy`` there
+    (``data.pipeline.load_image_cached``) -- repeated evals (snapshot-time
+    do_test) stop re-decoding the whole val split.
     """
     import jax
     import jax.numpy as jnp
 
-    from ..data.pipeline import device_prefetch
+    from ..data.pipeline import device_prefetch, load_image_cached
     from ..inference import (clip_detections, refine_detections,
                              write_kitti_detections)
     from ..parallel import batch_sharding, create_mesh
@@ -92,6 +96,8 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
     log_fn = log_fn or logging.getLogger(__name__).info
     batch_size = batch_size or cfg.test_batch_size
     os.makedirs(os.path.join(results_dir, "data"), exist_ok=True)
+    if raw_cache_dir:
+        os.makedirs(raw_cache_dir, exist_ok=True)
 
     variables = {"params": params, "batch_stats": batch_stats}
     dcfg = cfg.detect_config()
@@ -146,8 +152,7 @@ def test_kitti_3d(cfg, model, params, batch_stats, rois, rois_3d, bbox_means,
 
         def read(bi_rec):
             bi, rec = bi_rec
-            with Image.open(rec.image_path) as im:
-                arr = np.asarray(im.convert("RGB"), np.uint8)
+            arr = load_image_cached(rec.image_path, rec.id, raw_cache_dir)
             if arr.shape[:2] == (h0, w0):
                 imgs[bi] = arr
             elif single and arr.shape[0] <= h0 and arr.shape[1] <= w0:

@@ -43,6 +43,10 @@ def main():
                     help="post-hoc z/ry hill-climb on final detections "
                          "(projection-consistency refinement, the "
                          "reference's lib/rpn_util.py hill_climb)")
+    ap.add_argument("--cache-images", action="store_true",
+                    help="mmap-cache decoded val images in the split's "
+                         ".decoded_cache (same store scripts/train.py uses; "
+                         "repeated evals skip PNG decode)")
     args = ap.parse_args()
 
     from groomed_nms_tpu.platform import (enable_compilation_cache,
@@ -120,7 +124,9 @@ def main():
         cfg, model, state.params, state.batch_stats, rois, rois_3d, means,
         stds, imdb, results_dir, gt_dir=gt_dir, batch_size=batch_size,
         log_fn=log.info, render=args.render, refine=args.refine,
-        skip_eval=args.skip_eval or sharded)
+        skip_eval=args.skip_eval or sharded,
+        raw_cache_dir=os.path.join(root, args.split, ".decoded_cache")
+        if args.cache_images else None)
 
     if sharded:
         # barrier: every shard marks completion; shard 0 waits for ALL

@@ -326,7 +326,10 @@ def main():
         test_kitti_3d(cfg, model, state.params, state.batch_stats, rois,
                       rois_3d, means, stds, val_imdb, results_dir,
                       gt_dir=os.path.join(val_root, "validation", "label_2"),
-                      log_fn=log.info)
+                      log_fn=log.info,
+                      raw_cache_dir=os.path.join(
+                          val_root, "validation", ".decoded_cache")
+                      if args.cache_images else None)
 
     import time as _time
     with mesh:

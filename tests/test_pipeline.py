@@ -301,3 +301,21 @@ def test_loader_raw_cache_and_determinism(mini_kitti, tmp_path):
     assert n == 1 and s >= 0.0
     assert loader.pop_wait_stats() == (0.0, 0)
     loader.close()
+
+
+def test_load_image_cached_shared_helper(mini_kitti, tmp_path):
+    """The tester-facing helper: cold decode populates <key>.npy, warm
+    read mmaps it (and survives PNG deletion)."""
+    from groomed_nms_tpu.data.pipeline import load_image_cached
+
+    rec = build_imdb(mini_kitti, "training")[0]
+    cache = str(tmp_path / "raw")
+    os.makedirs(cache)
+    cold = load_image_cached(rec.image_path, rec.id, cache)
+    assert os.path.exists(os.path.join(cache, rec.id + ".npy"))
+    warm = load_image_cached("/nonexistent/x.png", rec.id, cache)
+    assert isinstance(warm, np.memmap)
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(warm))
+    # no cache dir: plain decode
+    plain = load_image_cached(rec.image_path, rec.id, None)
+    np.testing.assert_array_equal(plain, np.asarray(cold))
