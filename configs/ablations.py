@@ -75,6 +75,18 @@ def acceptance_classify(bins=2, boundary=(0.5,), sort_k=0):
         use_acceptance_prob_for_nms=False)
 
 
+def acceptance_boxes(box_set="overlaps", thres=0.1):
+    """Non-default acceptance-loss active set (the reference's unshipped
+    boxes_for_acceptance_prob knob, lib/loss/rpn_3d.py:1005-1016):
+    'overlaps' trains the acceptance head on every anchor whose max 2D
+    IoU vs any GT exceeds ``thres``; 'all' trains on every anchor with
+    the L1 weighted by the sampled cls weights."""
+    return base_config().replace(
+        name=f"groomed_nms_acceptance_{box_set}",
+        boxes_for_acceptance_prob=box_set,
+        acceptance_prob_overlap_thres=thres)
+
+
 ALL = {
     "no_group": no_group,
     "group_no_mask": group_no_mask,
@@ -86,4 +98,6 @@ ALL = {
     "threshold_0_3": lambda: nms_threshold(0.3),
     "threshold_0_5": lambda: nms_threshold(0.5),
     "acceptance_classify": acceptance_classify,
+    "acceptance_overlaps": lambda: acceptance_boxes("overlaps"),
+    "acceptance_all": lambda: acceptance_boxes("all"),
 }

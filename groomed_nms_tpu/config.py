@@ -92,6 +92,7 @@ class ExperimentConfig:
     use_un_for_score: bool = True
     use_acceptance_prob_for_nms: bool = True
     boxes_for_acceptance_prob: str = "foregrounds"
+    acceptance_prob_overlap_thres: float = 0.01
     acceptance_prob_mode: str = "likelihood"
     # ordinal-bin classify mode (reference lib/loss/rpn_3d.py:647-705 --
     # working-but-unshipped there; bins-1 binary classifiers over IoU3D
@@ -263,6 +264,7 @@ class ExperimentConfig:
             acceptance_prob_classify_sort_K=self.acceptance_prob_classify_sort_K,
             bins_boundary=tuple(self.bins_boundary),
             boxes_for_acceptance_prob=self.boxes_for_acceptance_prob,
+            acceptance_prob_overlap_thres=self.acceptance_prob_overlap_thres,
             use_acceptance_prob_in_regression_loss=self.use_acceptance_prob_in_regression_loss,
             weigh_acceptance_prob_regularization=self.weigh_acceptance_prob_regularization,
             weigh_3D_regression_loss_by_gt_iou3d=self.weigh_3D_regression_loss_by_gt_iou3d,

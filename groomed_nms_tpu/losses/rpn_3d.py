@@ -123,7 +123,13 @@ class LossConfig:
     acceptance_prob_classify_bins: int = 2
     acceptance_prob_classify_sort_K: int = 0
     bins_boundary: tuple = (0.5,)
+    # which boxes the acceptance loss trains on (rpn_3d.py:1005-1016):
+    # 'foregrounds' = sampled fg anchors (every shipped config);
+    # 'overlaps' = anchors with max 2D IoU vs any GT > overlap_thres
+    # (rpn_3d.py:650-651); 'all' = every anchor, L1 weighted by the
+    # sampled cls weights (rpn_3d.py:1007,1059-1060).
     boxes_for_acceptance_prob: str = "foregrounds"
+    acceptance_prob_overlap_thres: float = 0.01
     use_acceptance_prob_in_regression_loss: bool = False
     weigh_acceptance_prob_regularization: bool = False
     weigh_3D_regression_loss_by_gt_iou3d: bool = False
@@ -151,13 +157,12 @@ class LossConfig:
             raise ValueError("has_vel=True requires decomp_alpha=True "
                              "(velocity targets are laid out after the "
                              "alpha sin/cos columns)")
-        # fail loudly on acceptance-branch modes this loss does not train,
-        # instead of silently skipping the term (a config that asks for
-        # them would otherwise train a dead head with zero gradient):
-        # boxes_for_acceptance_prob 'all'/'overlaps' select a different
-        # active set (lib/loss/rpn_3d.py:1005-1012; the reference's 'all'
-        # branch is itself broken for batch>1 -- it indexes only the
-        # first R rows of the flattened B*R tensor).
+        if self.boxes_for_acceptance_prob not in (
+                "foregrounds", "overlaps", "all"):
+            raise ValueError(
+                f"boxes_for_acceptance_prob="
+                f"{self.boxes_for_acceptance_prob!r}: expected "
+                "'foregrounds', 'overlaps' or 'all'")
         if self.predict_acceptance_prob and self.acceptance_prob_lambda:
             if self.acceptance_prob_mode == "classify":
                 n_cls = self.acceptance_prob_classify_bins - 1
@@ -170,11 +175,6 @@ class LossConfig:
                     raise ValueError(
                         f"bins_boundary needs {n_cls} entries (bins-1) for "
                         f"ordinal classify, got {len(self.bins_boundary)}")
-            if self.boxes_for_acceptance_prob != "foregrounds":
-                raise NotImplementedError(
-                    f"boxes_for_acceptance_prob="
-                    f"{self.boxes_for_acceptance_prob!r} is not implemented "
-                    "(every shipped reference config uses 'foregrounds')")
 
 
 def _smooth_l1(x, t):
@@ -420,11 +420,27 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
                                    w3d_tar, h3d_tar, l3d_tar, ry3d_tar)
         flat = lambda c: c.reshape((-1,) + c.shape[-2:])
         _, iou3d_el = iou3d_approximate(flat(cp), flat(ct), pairwise=False)
-        accept_tar = jnp.where(fg_sel, iou3d_el.reshape(b, r), 0.0)
+        # dense on ALL fg anchors (not just sampled): the reference fills
+        # raw_gt only for compute_targets' fg_inds (rpn_util.py:461-475),
+        # so non-fg rows carry a zero GT cuboid whose IoU3D is 0; read
+        # sites mask by the mode's active set.
+        accept_tar = jnp.where(fg, iou3d_el.reshape(b, r), 0.0)
         accept_tar = jnp.nan_to_num(accept_tar, nan=0.0, posinf=0.0, neginf=0.0)
 
     if cfg.predict_acceptance_prob and cfg.acceptance_prob_lambda and \
             (accept_prob is not None or accept_cls is not None):
+        # active set (reference rpn_3d.py:647-659, 1005-1016).  'all' is
+        # implemented per-image-correct: the reference's flattened
+        # arange(R) index set covers only image 0's rows for batch > 1
+        # (rpn_3d.py:1007 after the view(-1) at 970), a bug we do not
+        # reproduce; its batch=1 semantics (every anchor active, L1
+        # weighted by the sampled cls weights) generalize per image.
+        if cfg.boxes_for_acceptance_prob == "overlaps":
+            accept_sel = tgt.ols_max > cfg.acceptance_prob_overlap_thres
+        elif cfg.boxes_for_acceptance_prob == "all":
+            accept_sel = jnp.ones((b, r), bool)
+        else:
+            accept_sel = fg_sel
         if cfg.acceptance_prob_mode == "classify":
             # ordinal-bin targets (reference lib/loss/rpn_3d.py:680-705):
             # per image, classifier c splits the sampled-fg boxes at
@@ -436,27 +452,33 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
             n_cls = cfg.acceptance_prob_classify_bins - 1
             iou_d = jax.lax.stop_gradient(accept_tar)          # [B, R]
             if cfg.acceptance_prob_classify_sort_K > 0 and n_cls == 1:
-                def topk_pos(iou_img, fg_img):
-                    key = jnp.where(fg_img, iou_img, -jnp.inf)
+                def topk_pos(iou_img, sel_img):
+                    key = jnp.where(sel_img, iou_img, -jnp.inf)
                     rank_desc = _rank_ascending(-key)
-                    return fg_img & \
+                    return sel_img & \
                         (rank_desc < cfg.acceptance_prob_classify_sort_K)
-                pos = jax.vmap(topk_pos)(iou_d, fg_sel)[..., None]
+                pos = jax.vmap(topk_pos)(iou_d, accept_sel)[..., None]
             else:
                 bnds = jnp.asarray(cfg.bins_boundary, jnp.float32)
-                pos = fg_sel[:, :, None] & (iou_d[..., None] > bnds)
+                pos = accept_sel[:, :, None] & (iou_d[..., None] > bnds)
             n_pos = jnp.sum(pos, axis=1).astype(jnp.float32)   # [B, C]
-            n_neg = jnp.sum(fg_sel, axis=1).astype(jnp.float32)[:, None] \
+            n_neg = jnp.sum(accept_sel, axis=1).astype(jnp.float32)[:, None] \
                 - n_pos
             w_pos = jnp.where(n_neg > 0,
                               n_neg / jnp.maximum(n_pos, 1.0), 1.0)
             bce = _bce(accept_cls, pos.astype(jnp.float32))
             bce = bce * jnp.where(pos, w_pos[:, None, :], 1.0)
             loss_ap = _masked_mean(
-                bce, jnp.broadcast_to(fg_sel[:, :, None], bce.shape)) \
+                bce, jnp.broadcast_to(accept_sel[:, :, None], bce.shape)) \
                 * cfg.acceptance_prob_lambda
         elif cfg.acceptance_prob_mode == "likelihood":
-            lp = -jnp.log(accept_prob)
+            if cfg.boxes_for_acceptance_prob == "foregrounds":
+                lp = -jnp.log(accept_prob)
+            else:
+                # reference quirk: likelihood degenerates to plain L1 for
+                # 'all'/'overlaps' (rpn_3d.py:1060-1068 branches on the
+                # box set first, -log only under 'foregrounds')
+                lp = jnp.abs(accept_prob - jax.lax.stop_gradient(accept_tar))
         elif cfg.acceptance_prob_mode == "regress":
             lp = jnp.abs(accept_prob - jax.lax.stop_gradient(accept_tar))
         elif cfg.acceptance_prob_mode == "rank":
@@ -468,30 +490,38 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
             if cfg.rank_with_class_confidence:
                 ap_scores = ap_scores * jnp.max(prob[..., 1:], axis=-1)
             rank_tar = jnp.where(accept_tar >= 0.6, 1.0, 0.0)
-            rank_tar = jnp.where(fg_sel, rank_tar, -1.0)
+            rank_tar = jnp.where(accept_sel, rank_tar, -1.0)
             lp = None
-            # only fg boxes participate (non-fg targets are -1 = ignored),
-            # so gather the top max_ap_boxes fg per image before ap_loss:
-            # our batched AP loss is O(N^2) memory ([N, N] rank terms),
-            # and the reference's raw [B*R] flatten (lib/loss/rpn_3d.py:
-            # 1046-1056) would need ~257 GB at 512x1760.  The cap only
-            # binds when an image has > max_ap_boxes sampled fg anchors.
-            def gather_rank(sc_img, tar_img, fg_img):
-                key = jnp.where(fg_img, sc_img, -jnp.inf)
+            # only active boxes participate (others get target -1 =
+            # ignored), so gather the top max_ap_boxes active per image
+            # before ap_loss: our batched AP loss is O(N^2) memory
+            # ([N, N] rank terms), and the reference's raw [B*R] flatten
+            # (lib/loss/rpn_3d.py:1046-1056) would need ~257 GB at
+            # 512x1760.  The cap only binds when an image has more than
+            # max_ap_boxes active anchors.
+            def gather_rank(sc_img, tar_img, sel_img):
+                key = jnp.where(sel_img, sc_img, -jnp.inf)
                 _, idx = jax.lax.top_k(key, min(cfg.max_ap_boxes, r))
                 valid = jnp.take(key, idx) > -jnp.inf
                 return (jnp.where(valid, sc_img[idx], 0.0),
                         jnp.where(valid, tar_img[idx], -1.0))
 
-            sc_b, tar_b = jax.vmap(gather_rank)(ap_scores, rank_tar, fg_sel)
+            sc_b, tar_b = jax.vmap(gather_rank)(ap_scores, rank_tar,
+                                                accept_sel)
             loss_ap = ap_loss(sc_b.reshape(-1), tar_b.reshape(-1)) \
                 * cfg.acceptance_prob_lambda
         else:
             raise NotImplementedError(cfg.acceptance_prob_mode)
         if cfg.acceptance_prob_mode in ("likelihood", "regress"):
+            if cfg.boxes_for_acceptance_prob == "all":
+                # 'all' weighs the L1 by the sampled cls weights
+                # (rpn_3d.py:1059-1060); unsampled anchors get weight 0
+                # but still count in the mean's denominator
+                lp = lp * jax.lax.stop_gradient(labels_weight)
             if cfg.weigh_acceptance_prob_regularization:
                 lp = lp * jax.lax.stop_gradient(accept_tar)
-            loss_ap = _masked_mean(lp, fg_sel) * cfg.acceptance_prob_lambda
+            loss_ap = _masked_mean(lp, accept_sel) \
+                * cfg.acceptance_prob_lambda
         total = total + loss_ap
         stats["bbox_prob"] = loss_ap
 

@@ -745,3 +745,99 @@ def test_acceptance_prob_classify_multibin_oracle():
     np.testing.assert_allclose(
         o_gac, np.stack(single_grads, axis=-1) / 3.0,
         rtol=1e-4, atol=1e-7)
+
+@pytest.mark.parametrize("mode", ["regress", "likelihood", "rank"])
+def test_boxes_for_acceptance_overlaps_matches_reference(ref, mode):
+    """boxes_for_acceptance_prob='overlaps' (lib/loss/rpn_3d.py:650-651,
+    1008-1011): the acceptance loss trains on every anchor whose max 2D
+    IoU vs any GT exceeds acceptance_prob_overlap_thres, not just sampled
+    foregrounds.  Non-fg actives carry a zero raw GT cuboid (rpn_util.py
+    fills raw_gt only for fg_inds), so their IoU3D target is 0.  Note the
+    reference quirk: 'likelihood' degenerates to plain L1 under
+    'overlaps' (rpn_3d.py:1060-1068).  Batch=2: unlike 'all', the
+    flatnonzero over the [B,R] weight array is batch-correct."""
+    from groomed_nms_tpu.losses import LossConfig
+    rng = np.random.default_rng(909 + len(mode))
+    ref_name = {"likelihood": "bbox_prob_nll", "regress": "bbox_prob_reg",
+                "rank": "bbox_prob_rank"}[mode]
+    for case_i in range(2):
+        case = _make_case(rng, with_ign=False)
+        accept = rng.uniform(0.05, 0.95, (B, R)).astype(np.float32)
+        conf = _make_conf(case["anchors"], case["means"], case["stds"],
+                          bbox_2d_lambda=0.0, predict_acceptance_prob=True,
+                          acceptance_prob_lambda=0.3,
+                          acceptance_prob_mode=mode,
+                          boxes_for_acceptance_prob="overlaps",
+                          acceptance_prob_overlap_thres=0.1,
+                          weigh_acceptance_prob_regularization=False,
+                          rank_with_class_confidence=False,
+                          use_acceptance_prob_in_regression_loss=False)
+        r_loss, r_stats, r_gap, r_g3 = _run_reference_accept(
+            ref, case, conf, accept)
+
+        lcfg = LossConfig(
+            num_classes=C, fg_fraction=0.2, box_samples=0.0,
+            hard_negatives=True, cls_2d_lambda=1.0, iou_2d_lambda=1.0,
+            bbox_2d_lambda=0.0, bbox_3d_lambda=1.0,
+            bbox_axis_head_lambda=0.35, decomp_alpha=True,
+            predict_acceptance_prob=True, acceptance_prob_lambda=0.3,
+            acceptance_prob_mode=mode,
+            boxes_for_acceptance_prob="overlaps",
+            acceptance_prob_overlap_thres=0.1)
+        o_loss, o_stats, o_gap, o_g3 = _run_ours_accept(case, lcfg, accept)
+
+        np.testing.assert_allclose(
+            o_stats["bbox_prob"], r_stats[ref_name], rtol=2e-4, atol=1e-5,
+            err_msg=f"case={case_i} mode={mode}")
+        np.testing.assert_allclose(o_loss, r_loss, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(o_gap, r_gap, rtol=1e-3, atol=1e-6,
+                                   err_msg=f"case={case_i} grad accept")
+        np.testing.assert_allclose(o_g3, r_g3, rtol=1e-3, atol=1e-5,
+                                   err_msg=f"case={case_i} grad bbox_3d")
+
+
+@pytest.mark.parametrize("mode", ["regress", "rank"])
+def test_boxes_for_acceptance_all_matches_reference(ref, mode, monkeypatch):
+    """boxes_for_acceptance_prob='all' (rpn_3d.py:1007, 1059-1060): every
+    anchor is active; the L1 is weighted by the sampled cls weights.
+    Tested at batch=1, the only size where the reference is correct (its
+    arange(R) index set covers only image 0's rows of the flattened
+    [B*R] tensors); ours generalizes the batch=1 semantics per image."""
+    import sys as _sys
+    from groomed_nms_tpu.losses import LossConfig
+    m = _sys.modules[__name__]
+    monkeypatch.setattr(m, "B", 1)
+    rng = np.random.default_rng(1313 + len(mode))
+    ref_name = {"regress": "bbox_prob_reg", "rank": "bbox_prob_rank"}[mode]
+    for case_i in range(2):
+        case = _make_case(rng, with_ign=False)
+        accept = rng.uniform(0.05, 0.95, (1, R)).astype(np.float32)
+        conf = _make_conf(case["anchors"], case["means"], case["stds"],
+                          bbox_2d_lambda=0.0, predict_acceptance_prob=True,
+                          acceptance_prob_lambda=0.3,
+                          acceptance_prob_mode=mode,
+                          boxes_for_acceptance_prob="all",
+                          weigh_acceptance_prob_regularization=False,
+                          rank_with_class_confidence=False,
+                          use_acceptance_prob_in_regression_loss=False)
+        r_loss, r_stats, r_gap, r_g3 = _run_reference_accept(
+            ref, case, conf, accept)
+
+        lcfg = LossConfig(
+            num_classes=C, fg_fraction=0.2, box_samples=0.0,
+            hard_negatives=True, cls_2d_lambda=1.0, iou_2d_lambda=1.0,
+            bbox_2d_lambda=0.0, bbox_3d_lambda=1.0,
+            bbox_axis_head_lambda=0.35, decomp_alpha=True,
+            predict_acceptance_prob=True, acceptance_prob_lambda=0.3,
+            acceptance_prob_mode=mode,
+            boxes_for_acceptance_prob="all")
+        o_loss, o_stats, o_gap, o_g3 = _run_ours_accept(case, lcfg, accept)
+
+        np.testing.assert_allclose(
+            o_stats["bbox_prob"], r_stats[ref_name], rtol=2e-4, atol=1e-5,
+            err_msg=f"case={case_i} mode={mode}")
+        np.testing.assert_allclose(o_loss, r_loss, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(o_gap, r_gap, rtol=1e-3, atol=1e-6,
+                                   err_msg=f"case={case_i} grad accept")
+        np.testing.assert_allclose(o_g3, r_g3, rtol=1e-3, atol=1e-5,
+                                   err_msg=f"case={case_i} grad bbox_3d")

@@ -247,13 +247,16 @@ def test_loss_acceptance_rank_mode_finite(tiny_setup):
 
 
 def test_loss_config_rejects_unimplemented_acceptance_modes():
-    """Non-foregrounds active sets are unshipped in the reference; asking
-    for them must fail loudly, not silently train a dead acceptance head.
-    classify mode IS implemented (round 4) but its bin spec is validated
-    at construction."""
-    with pytest.raises(NotImplementedError, match="foregrounds"):
+    """Invalid acceptance-branch configs must fail loudly at construction.
+    All three box sets ('foregrounds'/'overlaps'/'all') and all four modes
+    are implemented; anything else is a typo."""
+    with pytest.raises(ValueError, match="foregrounds"):
         LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
-                   boxes_for_acceptance_prob="all")
+                   boxes_for_acceptance_prob="typo")
+    # the implemented non-default box sets construct
+    for bset in ("all", "overlaps"):
+        LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
+                   boxes_for_acceptance_prob=bset)
     with pytest.raises(ValueError, match="bins"):
         LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
                    acceptance_prob_mode="classify",
