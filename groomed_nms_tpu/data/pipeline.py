@@ -242,13 +242,18 @@ def load_image_cached(image_path, key, cache_dir=None):
     """Decode ``image_path`` to uint8 RGB, via the raw mmap cache.
 
     With ``cache_dir``, the first read writes the decoded array as
-    ``<key>.npy`` and later reads mmap it (page-cache speed, ~50x faster
-    than PNG decode -- essential on single-core hosts). Shared by the
-    train loaders, the pose trainer, and the eval tester, so one decode
-    serves every consumer of the same frame. Costs h*w*3 bytes of disk.
+    ``<key>-<size>-<mtime>.npy`` and later reads mmap it (page-cache
+    speed, ~50x faster than PNG decode -- essential on single-core
+    hosts). Shared by the train loaders, the pose trainer, and the eval
+    tester, so one decode serves every consumer of the same frame. The
+    source file's size+mtime in the name means a regenerated dataset
+    tree invalidates its cache automatically (stale entries are left on
+    disk but never read). Costs h*w*3 bytes of disk per frame.
     """
     if cache_dir:
-        p = os.path.join(cache_dir, key + ".npy")
+        st = os.stat(image_path)
+        p = os.path.join(cache_dir,
+                         f"{key}-{st.st_size}-{st.st_mtime_ns}.npy")
         try:
             # mmap: the batch-plane copy pulls straight from page cache
             return np.load(p, mmap_mode="r")
@@ -559,10 +564,13 @@ def device_prefetch(host_iter, transform=None, depth=2):
 
     q = queue.Queue(maxsize=depth)
     stop = object()
+    cancelled = threading.Event()
 
     def worker():
         try:
             for item in host_iter:
+                if cancelled.is_set():
+                    return
                 q.put(transform(item) if transform is not None
                       else jax.device_put(item))
             q.put(stop)
@@ -572,10 +580,22 @@ def device_prefetch(host_iter, transform=None, depth=2):
     t = threading.Thread(target=worker, daemon=True,
                          name="device_prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # closing the generator (loop done, early break, or GC) stops the
+        # worker: without this an infinite host_iter keeps decoding and
+        # device_put-ting forever, pinning queued batches in HBM and
+        # stealing the (single) host core from snapshot evals
+        cancelled.set()
+        while True:
+            try:
+                q.get_nowait()   # unblock a worker stuck in q.put
+            except queue.Empty:
+                break

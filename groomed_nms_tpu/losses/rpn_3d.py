@@ -170,8 +170,16 @@ class LossConfig:
                     raise ValueError(
                         "acceptance_prob_classify_bins must be >= 2")
                 sort_k = self.acceptance_prob_classify_sort_K
-                if not (sort_k > 0 and n_cls == 1) \
-                        and len(self.bins_boundary) != n_cls:
+                if sort_k > 0 and n_cls != 1:
+                    # the top-K-positives split is only defined for ONE
+                    # binary classifier (reference rpn_3d.py:688-696 is
+                    # bins=2-only); silently training boundary mode
+                    # instead would contradict what the config asked for
+                    raise ValueError(
+                        "acceptance_prob_classify_sort_K > 0 requires "
+                        f"bins=2 (one classifier); got bins="
+                        f"{self.acceptance_prob_classify_bins}")
+                if sort_k == 0 and len(self.bins_boundary) != n_cls:
                     raise ValueError(
                         f"bins_boundary needs {n_cls} entries (bins-1) for "
                         f"ordinal classify, got {len(self.bins_boundary)}")

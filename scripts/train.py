@@ -253,10 +253,11 @@ def main():
     k_steps = max(1, args.steps_per_dispatch)
     remaining = cfg.max_iter - int(state.step)
     if k_steps > 1 and (cfg.display % k_steps or cfg.snapshot_iter % k_steps
-                        or remaining % k_steps):
+                        or remaining % k_steps or int(state.step) % k_steps):
         log.warning("--steps-per-dispatch %d does not divide display=%d / "
-                    "snapshot=%d / remaining=%d; falling back to 1",
-                    k_steps, cfg.display, cfg.snapshot_iter, remaining)
+                    "snapshot=%d / remaining=%d / resume-step=%d; falling "
+                    "back to 1", k_steps, cfg.display, cfg.snapshot_iter,
+                    remaining, int(state.step))
         k_steps = 1
     if k_steps > 1:
         from groomed_nms_tpu.training import scan_steps
@@ -357,6 +358,10 @@ def main():
                 log.info(line)
                 metrics_csv.append(it + 1, window_means)
                 tracker.reset()
+            if (it + 1) == cfg.max_iter:
+                # no more next(): stop the prefetch worker so the final
+                # eval gets the host core and the queued batches' HBM
+                batches.close()
             if (it + 1) % cfg.snapshot_iter == 0 or (it + 1) == cfg.max_iter:
                 path = save_checkpoint(out_dir, state)
                 log.info("checkpoint -> %s", path)

@@ -46,10 +46,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     import optax
-    from PIL import Image
 
     from groomed_nms_tpu.config import load_config
     from groomed_nms_tpu.data.augment import preprocess_images
+    from groomed_nms_tpu.data.pipeline import load_image_cached
     from groomed_nms_tpu.data.tracking import build_tracking_imdb, mirror_ego
     from groomed_nms_tpu.losses.pose import pose_loss
     from groomed_nms_tpu.models.video import VideoConfig, VideoRPN3D
@@ -151,21 +151,8 @@ def main():
         os.makedirs(cache_dir, exist_ok=True)
 
     def _frame(path):
-        if cache_dir:
-            key = os.path.splitext(os.path.basename(path))[0]
-            p = os.path.join(cache_dir, key + ".npy")
-            try:
-                return np.load(p, mmap_mode="r")
-            except (FileNotFoundError, ValueError, EOFError):
-                pass
-        with Image.open(path) as im:
-            arr = np.asarray(im.convert("RGB"), np.uint8)
-        if cache_dir:
-            tmp = p + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                np.save(f, arr)
-            os.replace(tmp, p)
-        return arr
+        return load_image_cached(
+            path, os.path.splitext(os.path.basename(path))[0], cache_dir)
 
     def host_batches():
         for _ in range(cfg.max_iter):
@@ -198,6 +185,8 @@ def main():
         if (it + 1) % cfg.display == 0:
             log.info(tracker.log_line(it + 1))
             tracker.reset()
+    batches.close()   # stop the prefetch worker (host_batches is finite,
+    #                   but the worker may still hold queued batches)
 
     # persist the trained pose branch (flat npz of array leaves)
     import jax.tree_util as jtu

@@ -269,6 +269,18 @@ def test_loss_config_rejects_unimplemented_acceptance_modes():
     LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
                acceptance_prob_mode="classify",
                acceptance_prob_classify_bins=2, bins_boundary=(0.5,))
+    # sort_K is defined for ONE binary classifier only (bins=2); bins>2
+    # would silently train boundary mode instead of what was asked for
+    with pytest.raises(ValueError, match="sort_K"):
+        LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
+                   acceptance_prob_mode="classify",
+                   acceptance_prob_classify_bins=4,
+                   bins_boundary=(0.1, 0.3, 0.5),
+                   acceptance_prob_classify_sort_K=5)
+    LossConfig(predict_acceptance_prob=True, acceptance_prob_lambda=0.1,
+               acceptance_prob_mode="classify",
+               acceptance_prob_classify_bins=2,
+               acceptance_prob_classify_sort_K=5)
 
 
 def test_loss_topk_clamped_to_small_feature_maps(tiny_setup):

@@ -303,19 +303,67 @@ def test_loader_raw_cache_and_determinism(mini_kitti, tmp_path):
     loader.close()
 
 
-def test_load_image_cached_shared_helper(mini_kitti, tmp_path):
-    """The tester-facing helper: cold decode populates <key>.npy, warm
-    read mmaps it (and survives PNG deletion)."""
+def test_load_image_cached_shared_helper(tmp_path):
+    """The tester-facing helper: cold decode populates the cache file,
+    warm read mmaps it, and a regenerated source image invalidates the
+    stale entry (the cache key carries the source's size+mtime)."""
+    from PIL import Image
+
     from groomed_nms_tpu.data.pipeline import load_image_cached
 
-    rec = build_imdb(mini_kitti, "training")[0]
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "000042.png")
+    old = rng.integers(0, 255, (24, 40, 3), dtype=np.uint8)
+    Image.fromarray(old).save(path)
     cache = str(tmp_path / "raw")
     os.makedirs(cache)
-    cold = load_image_cached(rec.image_path, rec.id, cache)
-    assert os.path.exists(os.path.join(cache, rec.id + ".npy"))
-    warm = load_image_cached("/nonexistent/x.png", rec.id, cache)
+    cold = load_image_cached(path, "000042", cache)
+    cached = [f for f in os.listdir(cache) if f.endswith(".npy")]
+    assert len(cached) == 1 and cached[0].startswith("000042-")
+    warm = load_image_cached(path, "000042", cache)
     assert isinstance(warm, np.memmap)
-    np.testing.assert_array_equal(np.asarray(cold), np.asarray(warm))
+    np.testing.assert_array_equal(np.asarray(cold), old)
+    np.testing.assert_array_equal(np.asarray(warm), old)
+    # regenerate the source (different pixels + forced different mtime):
+    # the stale cache entry must NOT be served
+    new = (old // 2 + 7).astype(np.uint8)
+    Image.fromarray(new).save(path)
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 10**6))
+    fresh = load_image_cached(path, "000042", cache)
+    np.testing.assert_array_equal(np.asarray(fresh), new)
     # no cache dir: plain decode
-    plain = load_image_cached(rec.image_path, rec.id, None)
-    np.testing.assert_array_equal(plain, np.asarray(cold))
+    plain = load_image_cached(path, "000042", None)
+    np.testing.assert_array_equal(plain, new)
+
+
+def test_device_prefetch_close_stops_worker():
+    """Closing the generator stops the worker thread: an infinite host
+    iterator must not keep decoding/transferring after the consumer is
+    done (it would pin batches in HBM and steal the host core)."""
+    import threading
+    import time
+
+    from groomed_nms_tpu.data.pipeline import device_prefetch
+
+    produced = []
+
+    def infinite():
+        i = 0
+        while True:
+            produced.append(i)
+            yield np.full((4,), i, np.float32)
+            i += 1
+
+    gen = device_prefetch(infinite(), depth=2)
+    first = np.asarray(next(gen))
+    assert first[0] == 0.0
+    gen.close()
+    # the worker must wind down: production stops (allow the one batch a
+    # blocked worker may finish after the drain unblocks it)
+    time.sleep(0.2)
+    high = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == high, "worker kept producing after close()"
+    assert not any(t.name == "device_prefetch" and t.is_alive()
+                   for t in threading.enumerate())
