@@ -26,6 +26,10 @@ def main(n=1000, iters=20):
     from groomed_nms_tpu.ops.iou import pairwise_iou
     from groomed_nms_tpu.ops.pallas_kernels import fused_iou_prune
 
+    # forced host readouts as timing barriers: block_until_ready is a no-op
+    # for remote buffers on the axon runtime (see platform.readout)
+    from groomed_nms_tpu.platform import readout
+
     rng = np.random.default_rng(0)
     x1 = rng.uniform(0, 1600, n)
     y1 = rng.uniform(0, 480, n)
@@ -42,11 +46,11 @@ def main(n=1000, iters=20):
         return differentiable_nms(scores, overlaps).rescored
 
     r = full_op(boxes, scores)
-    jax.block_until_ready(r)
+    readout(r)
     t0 = time.time()
     for _ in range(iters):
         r = full_op(boxes, scores)
-    jax.block_until_ready(r)
+    readout(r)
     dt = (time.time() - t0) / iters
     print(f"groomed_nms N={n}: {dt*1000:.2f} ms "
           f"-> {n/dt/1e6:.2f} Mboxes/s", flush=True)
@@ -56,11 +60,11 @@ def main(n=1000, iters=20):
         return fused_iou_prune(boxes, interpret=not on_tpu)
 
     o = kernel_op(boxes)
-    jax.block_until_ready(o)
+    readout(o)
     t0 = time.time()
     for _ in range(iters):
         o = kernel_op(boxes)
-    jax.block_until_ready(o)
+    readout(o)
     dt = (time.time() - t0) / iters
     print(f"fused_iou_prune N={n}: {dt*1000:.2f} ms "
           f"-> {n*n/dt/1e9:.2f} Gpairs/s", flush=True)

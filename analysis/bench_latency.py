@@ -37,7 +37,13 @@ def main():
     import jax
 
     from __graft_entry__ import _flagship
+    from groomed_nms_tpu.platform import readout
 
+    # timing barriers are forced host readouts throughout: on the axon
+    # runtime jax.block_until_ready returns before remote execution
+    # completes (round-4 audit -- see platform.readout).  For the blocking
+    # column that is also the honest serving semantics: a request isn't
+    # served until its results are back on the host.
     print(f"backend={jax.default_backend()} device={jax.devices()[0]}")
     print(f"{'batch':>5} {'blocking ms/call':>17} {'ms/img':>7} "
           f"{'pipelined ms/call':>18} {'img/s':>7}")
@@ -45,20 +51,20 @@ def main():
         fn, (images, params, batch_stats) = _flagship(batch=batch)
         jfn = jax.jit(fn)
         out = jfn(images, params, batch_stats)
-        jax.block_until_ready(out)
+        readout(out)
 
         # blocking latency: queue depth 1, each call waits for its result
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = jfn(images, params, batch_stats)
-            jax.block_until_ready(out)
+            readout(out)
         block_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
         # pipelined: deep dispatch queue (bench.py's measurement mode)
         t0 = time.perf_counter()
         for _ in range(args.queue):
             out = jfn(images, params, batch_stats)
-        jax.block_until_ready(out)
+        readout(out)
         pipe_ms = (time.perf_counter() - t0) / args.queue * 1e3
 
         print(f"{batch:>5} {block_ms:>17.1f} {block_ms / batch:>7.1f} "

@@ -41,6 +41,8 @@ def main():
                     help="use the raw decoded-image cache (scripts/train.py "
                          "--cache-images path); first epoch populates it")
     args = ap.parse_args()
+    if args.iters < 1:
+        ap.error("--iters must be >= 1")
 
     from groomed_nms_tpu.config import load_config
     from groomed_nms_tpu.data.imdb import build_imdb

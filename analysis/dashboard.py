@@ -24,6 +24,10 @@ import sys
 def read_metrics(path):
     with open(path) as f:
         rows = list(csv.reader(f))
+    if not rows:
+        # run-startup race: the trainer created metrics.csv but has not
+        # flushed the header yet
+        return None, None
     header, data = rows[0], rows[1:]
     cols = {k: [] for k in header}
     for r in data:
@@ -332,7 +336,7 @@ def main(argv=None):
     if not os.path.exists(metrics):
         sys.exit(f"no metrics.csv under {args.run}")
     header, cols = read_metrics(metrics)
-    if not cols[header[0]]:
+    if not header or not cols[header[0]]:
         sys.exit("metrics.csv has no data rows yet")
     conf_path = os.path.join(args.run, "conf.json")
     conf_text = None

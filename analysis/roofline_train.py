@@ -41,7 +41,7 @@ def main():
 
     import jax
 
-    from groomed_nms_tpu.platform import enable_compilation_cache
+    from groomed_nms_tpu.platform import enable_compilation_cache, readout
     enable_compilation_cache()
 
     if args.mode == "train":
@@ -72,18 +72,26 @@ def main():
     flops = float(ca.get("flops", 0.0))
     bytes_accessed = float(ca.get("bytes accessed", 0.0))
 
-    jax.block_until_ready(run())        # warmup
+    # timing barriers are forced host readouts: block_until_ready does not
+    # await remote execution on the axon runtime (see platform.readout);
+    # run() returns a small scalar/bool tensor, so the readout is ~free
+    readout(run())                      # warmup
     if args.trace:
         with jax.profiler.trace(args.trace):
-            jax.block_until_ready(run())
+            readout(run())
         print(f"trace -> {args.trace}")
     t0 = time.perf_counter()
     last = None
     for _ in range(args.iters):
         last = run()
-    jax.block_until_ready(last)
+    readout(last)
     dt = (time.perf_counter() - t0) / args.iters
 
+    if jax.default_backend() == "tpu" and flops / dt / 1e12 > V5E_BF16_TFLOPS:
+        raise SystemExit(
+            f"implied {flops / dt / 1e12:.1f} TFLOP/s exceeds the "
+            f"{V5E_BF16_TFLOPS:.0f} TFLOP/s peak: timing did not await "
+            "device execution -- refusing to print a roofline from it")
     tflops_logical = flops / 1e12
     gb_logical = bytes_accessed / 1e9
     achieved_tflops = tflops_logical / dt

@@ -9,10 +9,26 @@ round-trips between backbone, decode, and CUDA NMS (lib/rpn_util.py:1052-
 1356).  The repo records no throughput number; M3D-RPN-lineage detectors
 run ~5 img/s on a 1080 Ti at this resolution, and BASELINE.md's target is
 >10x that (= 50 img/s) on one v5e chip.  vs_baseline is measured against
-the 5 img/s reference estimate.
+the 5 img/s reference estimate; every json line carries
+``baseline_estimated: true`` because those baselines are lore, not
+measurements (the reference repo records no throughput at all).
 
-Prints one json line per metric (inference first -- the headline -- then
-the full train step): {"metric", "value", "unit", "vs_baseline"}.
+Timing discipline (round-5 fix): ``jax.block_until_ready`` is NOT a
+completion barrier on the remote-dispatch axon runtime -- round 4 recorded
+a physically impossible 15,483 img/s (≈930 TFLOP/s on a 197 TFLOP/s chip)
+because the loop timed dispatch, not compute.  Every timed window here ends
+with a forced host readout of the final outputs (platform.readout), and a
+plausibility guard refuses to print any number whose implied FLOP rate
+exceeds the chip peak (platform.check_physical_rate, FLOPs from the
+compiled program's XLA cost analysis).  The reference's timing is
+readout-true by construction (results come back to numpy each image,
+lib/rpn_util.py:1483-1485); ours must be by discipline.
+
+Prints one json line per metric: inference first (the headline), then the
+device train step, then the host-in-the-loop sustained train wall rate
+(device_put of raw loader bytes + fused step + windowed stats pull -- the
+number a real training run sees): {"metric", "value", "unit",
+"vs_baseline", ...}.
 """
 
 import json
@@ -32,34 +48,85 @@ REFERENCE_1080TI_TRAIN_IMG_PER_SEC = 4.0
 def _bench_train():
     import jax
     from __graft_entry__ import _flagship_train
+    from groomed_nms_tpu.platform import (check_physical_rate, cost_flops,
+                                          readout)
 
     batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", "30"))
     step_fn, state, host_batch = _flagship_train(batch=batch)
     jstep = jax.jit(step_fn, donate_argnums=(0,))
     dev_batch = jax.device_put(host_batch)
+    flops = cost_flops(jstep.lower(state, dev_batch).compile())
     state, stats = jstep(state, dev_batch)       # warmup / compile
-    jax.block_until_ready(stats["total"])
+    readout(stats["total"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, stats = jstep(state, dev_batch)
-    jax.block_until_ready(stats["total"])
+    # forced host readout: the loss scalar depends on the final step, and
+    # steps chain through `state`, so this awaits the whole window
+    readout(stats["total"])
     dt = time.perf_counter() - t0
+    check_physical_rate(flops, iters, dt, label="train step bench")
     rate = batch * iters / dt
     print(json.dumps({
         "metric": "kitti_512x1760_train_step",
         "value": round(rate, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(rate / REFERENCE_1080TI_TRAIN_IMG_PER_SEC, 2),
+        "baseline_estimated": True,
         "batch": batch,
         "ms_per_step": round(1000 * dt / iters, 2),
-    }))
+    }), flush=True)
+
+
+def _bench_train_wall():
+    """Host-in-the-loop sustained training rate (the wall number).
+
+    Audits what a real run sees: one whole-tree device_put of the raw uint8
+    loader batch + one fused (preprocess+step) call per iteration, stats
+    stashed per-iter and pulled with ONE bulk device_get per display window
+    -- scripts/train.py's exact loop structure at the production batch 2.
+    """
+    import jax
+    from __graft_entry__ import _flagship_train
+    from groomed_nms_tpu.platform import readout
+
+    batch = int(os.environ.get("BENCH_WALL_BATCH", "2"))
+    iters = int(os.environ.get("BENCH_WALL_ITERS", "100"))
+    display = int(os.environ.get("BENCH_WALL_DISPLAY", "25"))
+    fused, state, raw = _flagship_train(batch=batch, raw_uint8=True)
+    jstep = jax.jit(fused, donate_argnums=(0,))
+    state, stats = jstep(state, jax.device_put(raw))   # warmup / compile
+    readout(stats["total"])
+    stash = []
+    t0 = time.perf_counter()
+    for i in range(iters):
+        dev = jax.device_put(raw)
+        state, stats = jstep(state, dev)
+        stash.append(stats)
+        if (i + 1) % display == 0:
+            readout(stash)          # the per-window bulk stats pull
+            stash = []
+    if stash:
+        readout(stash)
+    dt = time.perf_counter() - t0
+    rate = batch * iters / dt
+    print(json.dumps({
+        "metric": "kitti_512x1760_train_wall",
+        "value": round(rate, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rate / REFERENCE_1080TI_TRAIN_IMG_PER_SEC, 2),
+        "baseline_estimated": True,
+        "batch": batch,
+        "ms_per_iter": round(1000 * dt / iters, 2),
+    }), flush=True)
 
 
 def main():
     import jax
     from __graft_entry__ import _flagship
-    from groomed_nms_tpu.platform import enable_compilation_cache
+    from groomed_nms_tpu.platform import (check_physical_rate, cost_flops,
+                                          enable_compilation_cache, readout)
 
     enable_compilation_cache()   # full-size graphs: reuse across rounds
 
@@ -72,23 +139,28 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "160"))
 
     fn, (images, params, batch_stats) = _flagship(batch=batch)
-    jfn = jax.jit(fn)
+    # AOT-compile once: the executable serves both the timing loop and the
+    # cost analysis feeding the plausibility guard
+    compiled = jax.jit(fn).lower(images, params, batch_stats).compile()
+    flops = cost_flops(compiled)
 
-    # warmup / compile
-    out, valid = jfn(images, params, batch_stats)
-    jax.block_until_ready((out, valid))
+    out, valid = compiled(images, params, batch_stats)   # warmup
+    readout(valid)
 
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
         with jax.profiler.trace(profile_dir):
-            out, valid = jfn(images, params, batch_stats)
-            jax.block_until_ready((out, valid))
+            out, valid = compiled(images, params, batch_stats)
+            readout(valid)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, valid = jfn(images, params, batch_stats)
-    jax.block_until_ready((out, valid))
+        out, valid = compiled(images, params, batch_stats)
+    # forced host readout of the final outputs ends the window: execution
+    # is in-order, so this proves all `iters` dispatches actually ran
+    readout((out, valid))
     dt = time.perf_counter() - t0
+    check_physical_rate(flops, iters, dt, label="inference bench")
 
     img_per_sec = batch * iters / dt
     print(json.dumps({
@@ -96,10 +168,12 @@ def main():
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / REFERENCE_1080TI_IMG_PER_SEC, 2),
+        "baseline_estimated": True,
     }), flush=True)
 
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
         _bench_train()
+        _bench_train_wall()
 
 
 if __name__ == "__main__":

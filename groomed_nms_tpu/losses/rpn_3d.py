@@ -450,6 +450,11 @@ def rpn_3d_loss(outputs, rois, rois_3d, batch: GTBatch, bbox_means, bbox_stds,
         else:
             accept_sel = fg_sel
         if cfg.acceptance_prob_mode == "classify":
+            if accept_cls is None:
+                raise ValueError(
+                    "acceptance_prob_mode='classify' needs the model's "
+                    "accept_cls head (RPNConfig.acceptance_prob_classify_"
+                    "bins > 1); these outputs only carry accept_prob")
             # ordinal-bin targets (reference lib/loss/rpn_3d.py:680-705):
             # per image, classifier c splits the sampled-fg boxes at
             # bins_boundary[c] on IoU3D-to-target (or, with sort_K and one

@@ -74,6 +74,64 @@ def enable_compilation_cache(cache_dir=None):
     return cache_dir
 
 
+# public TPU v5e peak: 197 TFLOP/s bf16 (one chip).  Used by the benchmark
+# plausibility guard below and analysis/roofline_train.py.
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def readout(tree):
+    """Forced host readout -- the only reliable timing barrier here.
+
+    On the remote-dispatch runtime (the axon TPU tunnel)
+    ``jax.block_until_ready`` returns BEFORE remote execution completes:
+    the round-4 audit timed a "blocked" full-resolution batch-8 forward at
+    0.5 ms and the recorded benchmark implied ~930 TFLOP/s on a 197 TFLOP/s
+    chip.  A host readout cannot lie: the bytes only exist once the program
+    ran, and device execution is in-order, so fetching the LAST output of a
+    dispatch window proves every earlier call in the window finished too.
+
+    Returns the fetched tree (numpy arrays), so callers can fold the
+    readout into their result handling.
+    """
+    import jax
+
+    return jax.device_get(tree)
+
+
+def check_physical_rate(flops_per_call, calls, seconds, *, label="bench",
+                        peak_tflops=None):
+    """Fail loudly when a timing implies more FLOP/s than the chip can do.
+
+    ``flops_per_call`` comes from the compiled program's XLA cost analysis
+    (logical FLOPs).  If the measured window implies a FLOP rate above the
+    hardware peak, the measurement is broken (e.g. a no-op completion
+    barrier timing dispatch instead of compute) -- raise instead of
+    recording fantasy numbers.  Returns the implied TFLOP/s.
+    """
+    import jax
+
+    if peak_tflops is None:
+        if jax.default_backend() != "tpu":
+            return None  # CPU runs are far from any peak; nothing to check
+        peak_tflops = V5E_BF16_PEAK_TFLOPS
+    implied = flops_per_call * calls / max(seconds, 1e-12) / 1e12
+    if implied > peak_tflops:
+        raise SystemExit(
+            f"{label}: implied {implied:.1f} TFLOP/s exceeds the "
+            f"{peak_tflops:.0f} TFLOP/s chip peak -- the timing window did "
+            f"not await device execution (broken completion barrier?). "
+            f"Refusing to record a physically impossible number.")
+    return implied
+
+
+def cost_flops(compiled):
+    """Logical FLOPs per call of a compiled (lowered) jax program."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)) if ca else 0.0
+
+
 def force_cpu_mesh(n_devices: int):
     """Hermetically pin jax to an ``n_devices``-wide virtual CPU mesh.
 

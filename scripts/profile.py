@@ -28,16 +28,21 @@ def main():
     import jax
     import numpy as np
 
+    # completion barriers are forced host readouts: block_until_ready does
+    # not await remote execution on the axon runtime (platform.readout), so
+    # a trace closed behind it would miss the device work it was opened for
+    from groomed_nms_tpu.platform import readout
+
     if args.mode == "infer":
         from __graft_entry__ import _flagship
         fn, (images, params, batch_stats) = _flagship(batch=args.batch)
         jfn = jax.jit(fn)
         out = jfn(images, params, batch_stats)
-        jax.block_until_ready(out)
+        readout(out)
         with jax.profiler.trace(args.out):
             for _ in range(args.iters):
                 out = jfn(images, params, batch_stats)
-            jax.block_until_ready(out)
+            readout(out)
     else:
         import jax.numpy as jnp
         from groomed_nms_tpu.anchors import locate_anchors
@@ -82,11 +87,11 @@ def main():
             "scale": np.ones((b,), np.float32),
         })
         state, stats = step(state, batch)
-        jax.block_until_ready(stats["total"])
+        readout(stats["total"])
         with jax.profiler.trace(args.out):
             for _ in range(args.iters):
                 state, stats = step(state, batch)
-            jax.block_until_ready(stats["total"])
+            readout(stats["total"])
     print("trace written to", args.out)
 
 

@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--data-root", default="data")
     ap.add_argument("--output", default="output")
     ap.add_argument("--restore", type=int, default=None)
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore checkpoints already in the output dir "
+                         "(bypass auto-resume; cfg.pretrained warm-start "
+                         "still applies)")
     ap.add_argument("--max-iter", type=int, default=None,
                     help="override config max_iter (smoke runs)")
     ap.add_argument("--cache-images", action="store_true",
@@ -33,7 +37,10 @@ def main():
                          "~50x faster loads; essential on single-core hosts)")
     ap.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="run K train steps per runtime call (lax.scan over "
-                         "a stacked batch; exact same semantics). Collapses "
+                         "a stacked batch; exact same semantics on single-"
+                         "size datasets -- mixed source sizes reorder "
+                         "batches across dispatches and may repeat a batch "
+                         "when a rare size group is flushed). Collapses "
                          "runtime calls by K -- measured ~2%% at steady "
                          "state (the async queue already pipelines per-call "
                          "latency), the insurance is for loops that cannot "
@@ -162,13 +169,18 @@ def main():
     if args.restore is not None:
         state = restore_checkpoint(out_dir, state, args.restore)
         log.info("restored iter %d", int(state.step))
-    elif latest_checkpoint(out_dir) is not None:
+    elif not args.fresh and latest_checkpoint(out_dir) is not None:
         # crash/requeue recovery: a checkpoint in OUR output dir means this
         # exact run already started -- resume it rather than warm-starting
         # over it (reference resume knob: conf.restore, lib/core.py:99-127;
         # the auto pick-latest is the orbax-era convenience)
         state = restore_checkpoint(out_dir, state)
         log.info("auto-resumed own checkpoint at iter %d", int(state.step))
+        if int(state.step) >= cfg.max_iter:
+            log.info("checkpoint already at max_iter=%d -- nothing to "
+                     "train (pass --fresh to restart from scratch, "
+                     "--max-iter to extend, or scripts/test.py to "
+                     "evaluate)", cfg.max_iter)
     elif cfg.pretrained and latest_checkpoint(cfg.pretrained) is not None:
         if is_video:
             # warm-start the rpn subtree from the single-frame `_un`
@@ -288,16 +300,38 @@ def main():
         Batches stack only with same-shaped peers (the loader emits one
         image size per batch, but different batches may come from
         different size groups), so mixed-size datasets reorder batches
-        across dispatches without ever mixing sizes inside one."""
+        across dispatches without ever mixing sizes inside one.  Pending
+        incomplete groups are BOUNDED: if rare size groups accumulate past
+        the cap, the oldest group is topped up by repeating its last batch
+        to K (every real batch still trains exactly once; the filler
+        duplicates are logged) instead of holding host memory forever."""
         pend = {}
+        cap = max(4 * k_steps, 16)   # total pending batches across groups
+        warned = [False]
         while True:
             hb = _raw_tree(next(loader))
             shape = hb["images_u8"].shape
             pend.setdefault(shape, []).append(hb)
             if len(pend[shape]) == k_steps:
                 group = pend.pop(shape)
-                yield {key: np.stack([g[key] for g in group])
-                       for key in group[0]}
+            elif sum(len(g) for g in pend.values()) > cap:
+                # flush the OLDEST incomplete group (dict preserves
+                # insertion order), padded by repetition to K
+                oldest = next(iter(pend))
+                group = pend.pop(oldest)
+                if not warned[0]:
+                    log.warning(
+                        "mixed-size dataset: flushing an incomplete "
+                        "%d/%d-batch size group %s with repeated batches "
+                        "(bounds pending host memory; happens once per "
+                        "~%d batches of a rare size)",
+                        len(group), k_steps, oldest, cap)
+                    warned[0] = True
+                group = group + [group[-1]] * (k_steps - len(group))
+            else:
+                continue
+            yield {key: np.stack([g[key] for g in group])
+                   for key in group[0]}
 
     def to_device_stacked(hb):
         return shard_batch(mesh, hb, stacked=True)
