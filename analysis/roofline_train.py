@@ -34,9 +34,11 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--trace", default=None,
                     help="also capture a profiler trace into this dir")
-    ap.add_argument("--remat", action="store_true",
-                    help="train mode: rematerialize dense layers "
-                         "(DenseNetConfig.remat_layers)")
+    ap.add_argument("--remat", choices=("none", "layer", "epilogue"),
+                    default="none",
+                    help="train mode: rematerialize whole dense layers "
+                         "(remat_layers) or just the BN2/ReLU/conv2 tails "
+                         "(remat_epilogue)")
     args = ap.parse_args()
 
     import jax

@@ -175,9 +175,11 @@ class ExperimentConfig:
     # backbone (tiny=True used by tests / dry runs)
     backbone_tiny: bool = False
     compute_dtype: str = "float32"            # or "bfloat16"
-    # rematerialize dense layers in the train step's backward pass (see
-    # DenseNetConfig.remat_layers for the roofline rationale)
-    backbone_remat: bool = False
+    # rematerialize backbone activations in the train step's backward pass:
+    # False/"none", True/"layer" (whole dense layers; measured +8% step
+    # time, kept for peak memory), or "epilogue" (only each layer's
+    # BN2->ReLU->conv2 tail -- see DenseNetConfig.remat_epilogue)
+    backbone_remat: object = False
 
     # derived --------------------------------------------------------------
     @property
@@ -204,13 +206,24 @@ class ExperimentConfig:
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         # torch momentum (batch weight) -> flax momentum (EMA decay)
         bn_momentum = 1.0 - self.slow_bn if self.slow_bn else 0.9
+        remat = self.backbone_remat
+        if remat in (False, None, "none", ""):
+            layers, epilogue = False, False
+        elif remat in (True, "layer", "layers"):
+            layers, epilogue = True, False
+        elif remat == "epilogue":
+            layers, epilogue = False, True
+        else:
+            raise ValueError(f"backbone_remat={remat!r}: expected "
+                             "False/'none', True/'layer', or 'epilogue'")
         if self.backbone_tiny:
             from .models.densenet import tiny_densenet_config
             cfg = tiny_densenet_config(dtype)
             return dataclasses.replace(cfg, bn_momentum=bn_momentum,
-                                       remat_layers=self.backbone_remat)
+                                       remat_layers=layers,
+                                       remat_epilogue=epilogue)
         return DenseNetConfig(dtype=dtype, bn_momentum=bn_momentum,
-                              remat_layers=self.backbone_remat)
+                              remat_layers=layers, remat_epilogue=epilogue)
 
     def rpn_config(self, num_anchors: int) -> RPNConfig:
         return RPNConfig(

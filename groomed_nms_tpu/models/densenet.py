@@ -82,7 +82,16 @@ class DenseNetConfig:
     # the chunk tensors that exist across layers regardless, so remat
     # stores nothing extra.  Param/batch_stats trees are unchanged
     # (lifted transform preserves module names).
+    # MEASURED NEGATIVE for step time (+8%: the recompute re-reads the
+    # O(L^2) virtual-concat chunk bytes); kept as a peak-memory knob.
     remat_layers: bool = False
+    # Finer-grained remat: recompute only each layer's BN2->ReLU->3x3-conv
+    # epilogue in the backward pass.  Its input ``h`` (the 128-wide
+    # bottleneck output) is saved either way as the conv2 residual, so
+    # unlike remat_layers this re-reads NO chunk bytes -- it only drops the
+    # second 128-wide saved tensor (relu(BN2(h))) per layer in exchange
+    # for recomputing one cheap BN+ReLU chain and the 3x3 conv.
+    remat_epilogue: bool = False
 
     @property
     def out_features(self) -> int:
@@ -218,6 +227,7 @@ class VDenseLayer(nn.Module):
     dilation: int
     dtype: jnp.dtype
     momentum: float = 0.9
+    remat_epilogue: bool = False
 
     @nn.compact
     def __call__(self, sources, train: bool):
@@ -228,6 +238,9 @@ class VDenseLayer(nn.Module):
         h = SlicedConv1x1(self.total_features,
                           self.bn_size * self.growth_rate, self.dtype,
                           name="conv1")(parts)
+        return _apply_epilogue(self, h, train, self.remat_epilogue)
+
+    def _epilogue(self, h, train: bool):
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                          momentum=self.momentum, name="norm2")(h)
         h = nn.relu(h)
@@ -260,6 +273,20 @@ class VTransition(nn.Module):
                              self.dtype, name="conv")(parts)
 
 
+def _apply_epilogue(layer, h, train, remat):
+    """Run a dense layer's BN2->ReLU->conv2 tail, optionally rematerialized.
+
+    ``nn.remat`` on the BOUND method (module as first argument) keeps
+    norm2/conv2 as direct children of the layer, so the param/batch_stats
+    tree is bit-identical between both paths.
+    """
+    if remat:
+        fn = nn.remat(type(layer)._epilogue, static_argnums=(2,),
+                      policy=jax.checkpoint_policies.nothing_saveable)
+        return fn(layer, h, train)
+    return layer._epilogue(h, train)
+
+
 class DenseLayer(nn.Module):
     """BN -> ReLU -> 1x1 conv -> BN -> ReLU -> 3x3 conv, concat onto input."""
 
@@ -268,6 +295,7 @@ class DenseLayer(nn.Module):
     dilation: int
     dtype: jnp.dtype
     momentum: float = 0.9
+    remat_epilogue: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -276,6 +304,9 @@ class DenseLayer(nn.Module):
         h = nn.relu(h)
         h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(h)
+        return _apply_epilogue(self, h, train, self.remat_epilogue)
+
+    def _epilogue(self, h, train: bool):
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                          momentum=self.momentum, name="norm2")(h)
         h = nn.relu(h)
@@ -447,6 +478,7 @@ class DenseNetBackbone(nn.Module):
                         features + li * cfg.growth_rate,
                         cfg.growth_rate, cfg.bn_size,
                         cfg.block_dilations[bi], cfg.dtype, cfg.bn_momentum,
+                        remat_epilogue=cfg.remat_epilogue,
                         name=f"denseblock{bi + 1}_layer{li + 1}")(
                             chunks + pending, train)
                     pending.append(new)
@@ -473,6 +505,7 @@ class DenseNetBackbone(nn.Module):
                 new = Layer(
                     cfg.growth_rate, cfg.bn_size,
                     cfg.block_dilations[bi], cfg.dtype, cfg.bn_momentum,
+                    remat_epilogue=cfg.remat_epilogue,
                     name=f"denseblock{bi + 1}_layer{li + 1}")(x, train)
                 x = jnp.concatenate([x, new.astype(x.dtype)], axis=-1)
             features += num_layers * cfg.growth_rate

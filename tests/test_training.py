@@ -358,9 +358,9 @@ def test_cross_config_warm_start_partial_restore(tmp_path):
 
 
 def test_backbone_remat_matches_unrematerialized():
-    """DenseNetConfig.remat_layers must be a pure scheduling change: same
-    param/batch_stats tree, same forward value, matching gradients (the
-    roofline lever for the HBM-bound train step, docs/BENCHMARKS.md r4)."""
+    """remat_layers AND remat_epilogue must be pure scheduling changes:
+    same param/batch_stats tree, same forward value, matching gradients
+    (the roofline levers for the HBM-bound train step, BENCHMARKS r4/r5)."""
     import dataclasses
 
     from groomed_nms_tpu.models.densenet import DenseNetBackbone
@@ -368,8 +368,10 @@ def test_backbone_remat_matches_unrematerialized():
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(2, 32, 64, 3)).astype(np.float32))
     results = []
-    for remat in (False, True):
-        cfg = dataclasses.replace(tiny_densenet_config(), remat_layers=remat)
+    for layers, epilogue in ((False, False), (True, False), (False, True)):
+        cfg = dataclasses.replace(tiny_densenet_config(),
+                                  remat_layers=layers,
+                                  remat_epilogue=epilogue)
         net = DenseNetBackbone(cfg)
         vs = net.init(jax.random.PRNGKey(0), x, True)
 
@@ -383,21 +385,22 @@ def test_backbone_remat_matches_unrematerialized():
             jax.value_and_grad(loss, has_aux=True))(vs["params"])
         results.append((vs, float(val), grads, bs))
 
-    (vs0, v0, g0, bs0), (vs1, v1, g1, bs1) = results
+    vs0, v0, g0, bs0 = results[0]
     paths0 = [jax.tree_util.keystr(k) for k, _ in
               jax.tree_util.tree_flatten_with_path(vs0)[0]]
-    paths1 = [jax.tree_util.keystr(k) for k, _ in
-              jax.tree_util.tree_flatten_with_path(vs1)[0]]
-    assert paths0 == paths1              # checkpoints interchangeable
-    np.testing.assert_allclose(v0, v1, rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(g0),
-                    jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-3, atol=2e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(bs0),
-                    jax.tree_util.tree_leaves(bs1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+    for vs1, v1, g1, bs1 in results[1:]:
+        paths1 = [jax.tree_util.keystr(k) for k, _ in
+                  jax.tree_util.tree_flatten_with_path(vs1)[0]]
+        assert paths0 == paths1          # checkpoints interchangeable
+        np.testing.assert_allclose(v0, v1, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(bs0),
+                        jax.tree_util.tree_leaves(bs1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
 
 
 def test_scan_steps_matches_sequential(train_setup):
