@@ -318,6 +318,34 @@ class ExperimentConfig:
             json.dump(dataclasses.asdict(self), f, indent=2, default=str)
 
 
+def apply_overrides(cfg: ExperimentConfig,
+                    items: Sequence[str]) -> ExperimentConfig:
+    """Apply ``key=value`` CLI overrides, parsed as Python literals.
+
+    Replaces the reference's edit-the-config-file workflow (every ablation
+    there is a whole copied module) with ``--set lr=0.008 --set
+    batch_size=8`` on any script.  Unknown fields and malformed items fail
+    fast with the list of valid names nearby.
+    """
+    import ast
+    valid = {f.name for f in dataclasses.fields(cfg)}
+    updates = {}
+    for item in items:
+        key, sep, raw = item.partition("=")
+        if not sep:
+            raise ValueError(f"bad override {item!r}: expected KEY=VALUE")
+        if key not in valid:
+            near = sorted(v for v in valid if key.split("_")[0] in v)[:5]
+            raise ValueError(
+                f"unknown config field {key!r}" +
+                (f" (did you mean one of {near}?)" if near else ""))
+        try:
+            updates[key] = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            updates[key] = raw  # bare strings: --set lr_policy=step
+    return cfg.replace(**updates)
+
+
 def load_config(name: str, search_package: str = "configs") -> ExperimentConfig:
     """Import ``<search_package>.<name>`` and call its ``config()``.
 

@@ -47,6 +47,10 @@ def main():
                     help="mmap-cache decoded val images in the split's "
                          ".decoded_cache (same store scripts/train.py uses; "
                          "repeated evals skip PNG decode)")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="override any ExperimentConfig field (repeatable); "
+                         "values are parsed as Python literals")
     args = ap.parse_args()
 
     from groomed_nms_tpu.platform import (enable_compilation_cache,
@@ -68,6 +72,9 @@ def main():
                                           restore_checkpoint)
 
     cfg = load_config(args.config)
+    if args.overrides:
+        from groomed_nms_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, args.overrides)
     if args.single_program:
         import dataclasses
         cfg = dataclasses.replace(cfg, eval_single_program=True)

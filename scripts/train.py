@@ -31,6 +31,11 @@ def main():
                          "still applies)")
     ap.add_argument("--max-iter", type=int, default=None,
                     help="override config max_iter (smoke runs)")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="override any ExperimentConfig field (repeatable), "
+                         "e.g. --set batch_size=8 --set lr=0.008; values "
+                         "are parsed as Python literals")
     ap.add_argument("--cache-images", action="store_true",
                     help="decode each image once and mmap a raw uint8 cache "
                          "thereafter (trades H*W*3 bytes/image of disk for "
@@ -70,6 +75,9 @@ def main():
                                           save_checkpoint)
 
     cfg = load_config(args.config)
+    if args.overrides:
+        from groomed_nms_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, args.overrides)
     if args.max_iter:
         cfg = cfg.replace(max_iter=args.max_iter)
     out_dir = os.path.join(args.output, cfg.name)

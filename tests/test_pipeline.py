@@ -240,6 +240,23 @@ def test_config_modules_load():
         load_config("groomed_nms_not_a_real_variant")
 
 
+def test_config_cli_overrides():
+    # --set KEY=VALUE parsing: literals, tuples, bare strings; bad keys
+    # fail fast with suggestions (scripts/train.py --set)
+    from groomed_nms_tpu.config import apply_overrides
+    cfg = load_config("kitti_3d_warmup")
+    out = apply_overrides(cfg, ["batch_size=8", "lr=0.008",
+                                "lr_policy=step",
+                                "crop_size=(256, 880)"])
+    assert out.batch_size == 8 and out.lr == 0.008
+    assert out.lr_policy == "step" and out.crop_size == (256, 880)
+    assert cfg.batch_size == 2  # original untouched
+    with pytest.raises(ValueError, match="unknown config field"):
+        apply_overrides(cfg, ["learning_rate=1"])
+    with pytest.raises(ValueError, match="KEY=VALUE"):
+        apply_overrides(cfg, ["batch_size"])
+
+
 def test_anchor_scales_formula():
     cfg = ExperimentConfig()
     scales = cfg.anchor_scales
