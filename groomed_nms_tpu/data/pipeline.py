@@ -169,60 +169,115 @@ def prepare_anchors(cfg, imdb, cache_dir=None):
     n3d = (9 if cfg.decomp_alpha else 7) + (1 if cfg.has_vel else 0)
     ncols = 4 + n3d
 
-    def fg_rows(rec, use_trunc):
-        sv = _scaled_valid_gts(rec, cfg, use_trunc=use_trunc)
-        if sv is None:
-            return None
-        gts, val, _ = sv
-        boxes = gts["bbox_full"][val].astype(np.float32)
-        corners = np.stack([boxes[:, 0], boxes[:, 1],
-                            boxes[:, 0] + boxes[:, 2] - 1,
-                            boxes[:, 1] + boxes[:, 3] - 1], axis=1)
-        lbl = class_indices({k: v[val] if hasattr(v, "__getitem__") else v
-                             for k, v in gts.items()}, list(cfg.lbls))
+    # Per-image GT counts vary, so calling compute_targets at each image's
+    # natural shape would compile one program PER DISTINCT COUNT -- minutes
+    # each through a remote-compile tunnel.  Pad every image to one static
+    # width instead (compute_targets masks invalid GTs, same contract the
+    # loss relies on) so the whole pass is ONE compiled program.  The fg
+    # rows are compacted ON DEVICE into a fixed [max_fg, ncols] buffer
+    # (ascending anchor order, identical to boolean selection) so each call
+    # returns kilobytes, not the full 126k-anchor transform tensors; pulls
+    # are windowed through one bulk device_get to amortize tunnel latency.
+    # Host accumulation stays in float64 on the exact f32 rows, so the
+    # reference differential (tests/test_reference_differential.py) is
+    # unchanged.
+    import jax
+    gmax = 8
+    for rec in imdb:
+        if rec.gts:
+            gmax = max(gmax, len(rec.gts.get("cls", ())))
+    gmax = int(-(-gmax // 8) * 8)
+    # 512 fg rows per padded GT: a large GT at stride 16 with 36 anchors
+    # per cell can own hundreds of fg anchors (measured 1103 across 8 GTs
+    # on the synthetic world); the buffer is a one-shot pull so generosity
+    # costs only ~ncols*4 bytes/row per image
+    max_fg = int(os.environ.get("GROOMED_STATS_MAX_FG", str(512 * gmax)))
+
+    @jax.jit
+    def _device_rows(corners, g3d, lbl, gvalid):
         tgt = compute_targets(
-            rois_j, rois_3d_j, jnp.asarray(corners),
-            jnp.asarray(_vel_pad(gts["bbox_3d"], cfg.has_vel)[val]
-                        .astype(np.float32)),
-            jnp.asarray(lbl), jnp.ones((corners.shape[0],), bool),
+            rois_j, rois_3d_j, corners, g3d, lbl, gvalid,
             jnp.zeros((1, 4)), jnp.zeros((1,), bool),
             fg_thresh=cfg.fg_thresh, ign_thresh=cfg.ign_thresh,
             bg_thresh_lo=cfg.bg_thresh_lo, bg_thresh_hi=cfg.bg_thresh_hi,
             best_thresh=cfg.best_thresh, decomp_alpha=cfg.decomp_alpha,
             has_vel=cfg.has_vel)
-        fg = np.asarray(tgt.fg_mask)
-        if not fg.any():
+        rows = jnp.concatenate([tgt.transforms_2d,
+                                tgt.transforms_3d[:, :n3d]], axis=1)
+        nfg = tgt.fg_mask.sum()
+        idx = jnp.nonzero(tgt.fg_mask, size=max_fg, fill_value=0)[0]
+        keep = jnp.arange(max_fg) < nfg
+        return rows[idx], keep, nfg
+
+    def padded(rec, use_trunc):
+        sv = _scaled_valid_gts(rec, cfg, use_trunc=use_trunc)
+        if sv is None:
             return None
-        return np.concatenate(
-            [np.asarray(tgt.transforms_2d)[fg],
-             np.asarray(tgt.transforms_3d)[fg, :n3d]],
-            axis=1).astype(np.float64)
+        gts, val, _ = sv
+        boxes = gts["bbox_full"][val].astype(np.float32)
+        g = boxes.shape[0]
+        corners = np.zeros((gmax, 4), np.float32)
+        corners[:g] = np.stack([boxes[:, 0], boxes[:, 1],
+                                boxes[:, 0] + boxes[:, 2] - 1,
+                                boxes[:, 1] + boxes[:, 3] - 1], axis=1)
+        lbl = np.asarray(class_indices(
+            {k: v[val] if hasattr(v, "__getitem__") else v
+             for k, v in gts.items()}, list(cfg.lbls)))
+        lbl_p = np.zeros((gmax,), lbl.dtype)
+        lbl_p[:g] = lbl
+        g3d = _vel_pad(gts["bbox_3d"], cfg.has_vel)[val].astype(np.float32)
+        g3d_p = np.zeros((gmax, g3d.shape[1]), np.float32)
+        g3d_p[:g] = g3d
+        gvalid = np.zeros((gmax,), bool)
+        gvalid[:g] = True
+        return corners, g3d_p, lbl_p, gvalid
 
     cnt_a = np.zeros(ncols, np.float64)
     s_a = np.zeros(ncols, np.float64)
     cnt_b = np.zeros(ncols, np.float64)
     s_b = np.zeros(ncols, np.float64)
     sq_b = np.zeros(ncols, np.float64)
+
+    pend = []    # [(into_a, into_b, (rows, keep, nfg) device tree), ...]
+
+    def _flush():
+        nonlocal cnt_a, s_a, cnt_b, s_b, sq_b
+        if not pend:
+            return
+        pulled = jax.device_get([p[2] for p in pend])
+        for (into_a, into_b, _), (rows, keep, nfg) in zip(pend, pulled):
+            if int(nfg) > max_fg:
+                raise RuntimeError(
+                    f"{int(nfg)} foreground anchors exceed the "
+                    f"GROOMED_STATS_MAX_FG={max_fg} compaction buffer; "
+                    "raise the env var")
+            rows = rows[keep.astype(bool)].astype(np.float64)
+            finite = np.isfinite(rows)
+            vals = np.where(finite, rows, 0.0)
+            if into_a:
+                cnt_a += finite.sum(0)
+                s_a += vals.sum(0)
+            if into_b:
+                cnt_b += finite.sum(0)
+                s_b += vals.sum(0)
+                sq_b += (vals ** 2).sum(0)
+        pend.clear()
+
     for rec in imdb:
         gts = rec.gts if rec.gts else {}
         trunc = np.asarray(gts.get("trunc", np.zeros(0)))
         same = not (trunc > max(1 - cfg.min_gt_vis, 0)).any()
-        rows_a = fg_rows(rec, use_trunc=True)
-        rows_b = rows_a if same else fg_rows(rec, use_trunc=False)
-        for rows, is_a in ((rows_a, True), (rows_b, False)):
-            if rows is None:
-                continue
-            finite = np.isfinite(rows)
-            vals = np.where(finite, rows, 0.0)
-            if is_a:
-                cnt_a += finite.sum(0)
-                s_a += vals.sum(0)
-            if rows is rows_b:
-                cnt_b += finite.sum(0)
-                s_b += vals.sum(0)
-                sq_b += (vals ** 2).sum(0)
-            if is_a and rows is rows_b:
-                break  # same row set: both accumulated above
+        pa = padded(rec, use_trunc=True)
+        pb = pa if same else padded(rec, use_trunc=False)
+        if pa is not None:
+            pend.append((True, pb is pa,
+                         _device_rows(*map(jnp.asarray, pa))))
+        if pb is not None and pb is not pa:
+            pend.append((False, True,
+                         _device_rows(*map(jnp.asarray, pb))))
+        if len(pend) >= 64:
+            _flush()
+    _flush()
 
     if cnt_a.any():
         denom = cnt_a + 1e-10
@@ -248,10 +303,20 @@ def load_image_cached(image_path, key, cache_dir=None):
     tester, so one decode serves every consumer of the same frame. The
     source file's size+mtime in the name means a regenerated dataset
     tree invalidates its cache automatically (stale entries are left on
-    disk but never read). Costs h*w*3 bytes of disk per frame.
+    disk but never read). Costs h*w*3 bytes of disk per frame. A warm
+    cache outlives its sources: when the source file is gone (archived
+    tree, cache-only deployment), the newest cached entry for ``key``
+    serves instead of a stat failure.
     """
     if cache_dir:
-        st = os.stat(image_path)
+        try:
+            st = os.stat(image_path)
+        except OSError:
+            import glob
+            hits = sorted(glob.glob(os.path.join(cache_dir, f"{key}-*.npy")))
+            if hits:
+                return np.load(hits[-1], mmap_mode="r")
+            raise
         p = os.path.join(cache_dir,
                          f"{key}-{st.st_size}-{st.st_mtime_ns}.npy")
         try:
