@@ -89,6 +89,28 @@ def test_prepare_anchors(mini_kitti, tmp_path):
     np.testing.assert_allclose(a2, anchors)
 
 
+def test_prepare_anchors_fg_buffer_overflow(mini_kitti, tmp_path,
+                                            monkeypatch):
+    """The single-compile stats pass compacts fg rows into a fixed
+    device buffer; an undersized buffer must fail LOUDLY (silently
+    dropping rows would skew the bbox means/stds every run consumes),
+    with the env knob named in the message."""
+    import dataclasses
+    monkeypatch.setenv("GROOMED_STATS_MAX_FG", "1")
+    # near-zero fg threshold so any overlap goes foreground; the fixture's
+    # projected 2D boxes land outside its tiny image plane, so rewrite
+    # them to cover it (only the fg COUNT matters to the guard)
+    cfg = dataclasses.replace(_tiny_cfg(), fg_thresh=0.01, best_thresh=0.001,
+                              bg_thresh_lo=0.0, bg_thresh_hi=0.005)
+    imdb = build_imdb(mini_kitti, "training")
+    for rec in imdb:
+        n = len(rec.gts["cls"])
+        rec.gts["bbox_full"] = np.tile(
+            np.array([[8.0, 8.0, 200.0, 80.0]]), (n, 1))
+    with pytest.raises(RuntimeError, match="GROOMED_STATS_MAX_FG"):
+        prepare_anchors(cfg, imdb, cache_dir=str(tmp_path))
+
+
 def test_prepare_anchors_empty_imdb_requires_cache(tmp_path):
     """Eval/export entry points pass an empty imdb: with no cached
     anchors.npz the priors would be learned from nothing (all-zero w3d
