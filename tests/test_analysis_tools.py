@@ -212,3 +212,49 @@ def test_dashboard_serve_live_updates(tmp_path):
         f.write("200,4.0\n")
     page = fetch()
     assert '"iter": [100.0, 200.0]' in page.replace("\n", "")
+
+
+def test_oracle_3d_substitution_modes(tmp_path):
+    """oracle_3d substitutes matched-GT 3D fields per mode and leaves
+    unmatched detections untouched."""
+    from oracle_3d import _write_oracle
+
+    gt = tmp_path / "gt"
+    res = tmp_path / "res"
+    out = tmp_path / "out"
+    _write(str(gt / "000000.txt"),
+           [GT_LINE.format(occ=0, x=1.0, z=20.0)])
+    # det 1 overlaps the GT box but carries wrong 3D fields; det 2 is far
+    # away in 2D (no match) and must pass through unchanged
+    _write(str(res / "000000.txt"),
+           ["Car -1 -1 -1.55 102.0 121.0 198.0 179.0 "
+            "1.10 1.20 3.00 5.00 1.00 28.00 0.40 0.90",
+            DET_LINE.format(x=-5.0, z=9.0, score=0.5).replace(
+                "100.0 120.0 200.0 180.0", "400.0 20.0 460.0 60.0")])
+
+    for mode, want in [
+            ("center", (1.0, 1.65, 20.0)),       # x y z from GT
+            ("dims", (1.50, 1.60, 3.90)),        # h w l from GT
+    ]:
+        matched, total = _write_oracle(str(res), str(gt),
+                                       str(out / mode), mode, 0.3)
+        assert (matched, total) == (1, 2)
+        rows = [l.split() for l in
+                open(out / mode / "000000.txt").read().splitlines()]
+        v = [float(x) for x in rows[0][1:]]
+        if mode == "center":
+            assert tuple(round(x, 2) for x in v[10:13]) == want
+            assert v[7:10] == [1.10, 1.20, 3.00]   # dims untouched
+        else:
+            assert tuple(round(x, 2) for x in v[7:10]) == want
+            assert v[10:13] == [5.00, 1.00, 28.00]
+        # unmatched det unchanged (same 3D center as written)
+        v2 = [float(x) for x in rows[1][1:]]
+        assert v2[10:13] == [-5.0, 1.65, 9.0]
+
+    # rymirror: ry' = 2*atan2(x, z) - ry with GT center/dims
+    _write_oracle(str(res), str(gt), str(out / "rym"), "rymirror", 0.3)
+    v = [float(x) for x in
+         open(out / "rym" / "000000.txt").read().splitlines()[0].split()[1:]]
+    assert abs(v[13] - (2 * np.arctan2(1.0, 20.0) - (-1.60))) < 1e-5
+    assert [round(x, 2) for x in v[10:13]] == [1.0, 1.65, 20.0]
